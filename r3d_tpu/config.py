@@ -70,6 +70,7 @@ class ModelConfig:
     # Fuser knobs (futr_safuser_batchnormalization.py / futr_safuser_tokenfusion.py)
     fuser_depth: int = 1
     fuser_heads: int = 8
+    fuser_dropout: float = 0.1          # embd_drop (bn:26); independent of `dropout`
     fuser_exchange_frac: float = 0.1    # BN variant: bottom 10% (bn:58); grad variant: C//4
     fuser_outer_residual: bool = False  # grad variant adds x+x_res (tokenfusion.py:92); BN doesn't
     query_num: int = 49                 # L3 label vocabulary (fc_l3 head width)

@@ -1,0 +1,44 @@
+"""Model registry (reference model selection = comment-toggled imports,
+main_utkinects.py:17-31; here a string -> module map)."""
+
+from typing import Any
+
+from r3d_tpu.config import ModelConfig
+from r3d_tpu.models.futr import FUTR
+from r3d_tpu.models.futr_fusion import FUTRFusion
+
+_FUSION_MODELS = {
+    "futr_fusion_bn",
+    "futr_fusion_grad",
+    "futr_fusion_vary",
+    "futr_fusion_nox",
+    "afft",
+}
+
+
+def is_fusion_model(name: str) -> bool:
+    return name in _FUSION_MODELS
+
+
+def build_model(cfg: ModelConfig, n_class: int) -> Any:
+    if cfg.model == "futr":
+        return FUTR(cfg, n_class)
+    if cfg.model in _FUSION_MODELS:
+        return FUTRFusion(cfg, n_class)
+    if cfg.model == "futr_unsupervised":
+        from r3d_tpu.models.futr_unsupervised import FUTRUnsupervised
+
+        return FUTRUnsupervised(cfg, n_class)
+    if cfg.model == "rnn":
+        from r3d_tpu.models.baselines import RNNAnticipator
+
+        return RNNAnticipator(cfg, n_class)
+    if cfg.model == "cnn":
+        from r3d_tpu.models.baselines import CNNAnticipator
+
+        return CNNAnticipator(cfg, n_class)
+    if cfg.model == "tcn":
+        from r3d_tpu.models.baselines import TCNAnticipator
+
+        return TCNAnticipator(cfg, n_class)
+    raise ValueError(f"unknown model {cfg.model!r}")

@@ -1,0 +1,116 @@
+"""Effective rank: singular-value-entropy metric + differentiable regularizer.
+
+R3D's paper frames "effective rank as a unified measure of representation
+collapse" but the reference code never computes it (SURVEY.md §0 — repo-wide
+grep finds no SVD); the token fuser targets rank structurally.  The rebuild's
+north star asks for the metric AND a rank-targeted loss usable inside the
+jitted train step on TPU.  Definition (Roy & Vetterli 2007):
+
+    erank(X) = exp( -sum_i p_i log p_i ),   p_i = sigma_i / sum_j sigma_j
+
+TPU design
+----------
+SVD of the [N, C] feature matrix is avoided: sigma_i^2 are the eigenvalues of
+the C x C Gram matrix G = X^T X, which is one MXU matmul plus an eigh of a
+tiny (C<=512) symmetric matrix.  Autodiff through ``eigh`` is numerically
+unstable when eigenvalues cluster (exactly the collapsed regime this loss
+targets: dU blows up as 1/(lambda_i - lambda_j)), so the backward pass uses a
+custom VJP with the exact eigenvalue-only identity
+
+    d f(lambda(G)) / dG = U diag(df/dlambda) U^T
+
+which is well-defined for symmetric functions f even with repeated
+eigenvalues — the eigenvector ambiguity cancels inside U diag U^T.
+Gradients are validated against finite differences and against
+autodiff-through-SVD on well-separated spectra (tests/test_effective_rank.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def _entropy_from_eigs(lam: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(erank, d_erank/d_lambda) from Gram eigenvalues (ascending, >=0)."""
+    lam = jnp.maximum(lam, 0.0)
+    sigma = jnp.sqrt(lam + _EPS)
+    total = jnp.sum(sigma)
+    p = sigma / total
+    logp = jnp.log(p + _EPS)
+    H = -jnp.sum(p * logp)
+    erank = jnp.exp(H)
+
+    # dH/dp_i = -(log p_i + 1); dp_i/dsigma_j = (delta_ij - p_i)/total
+    dH_dp = -(logp + 1.0)
+    dH_dsigma = (dH_dp - jnp.sum(dH_dp * p)) / total
+    dsigma_dlam = 0.5 / sigma
+    derank_dlam = erank * dH_dsigma * dsigma_dlam
+    return erank, derank_dlam
+
+
+@jax.custom_vjp
+def _erank_from_gram(gram: jnp.ndarray) -> jnp.ndarray:
+    lam = jnp.linalg.eigvalsh(gram)
+    erank, _ = _entropy_from_eigs(lam)
+    return erank
+
+
+def _erank_fwd(gram):
+    lam, U = jnp.linalg.eigh(gram)
+    erank, dlam = _entropy_from_eigs(lam)
+    return erank, (U, dlam)
+
+
+def _erank_bwd(res, g):
+    U, dlam = res
+    # df/dG = U diag(df/dlambda) U^T (stable for any spectrum)
+    dG = (U * dlam[None, :]) @ U.T
+    return (g * dG,)
+
+
+_erank_from_gram.defvjp(_erank_fwd, _erank_bwd)
+
+
+def effective_rank(
+    x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Effective rank of a feature matrix.
+
+    x: [..., N, C] (leading dims batched); mask: [..., N] with 1 = valid row.
+    Masked rows are zeroed — zero rows leave the Gram matrix untouched, so
+    this is exact masking, not an approximation.
+    """
+    x = x.astype(jnp.float32)
+    if mask is not None:
+        x = x * mask.astype(jnp.float32)[..., None]
+    gram = jnp.einsum("...nc,...nd->...cd", x, x)
+    if gram.ndim == 2:
+        return _erank_from_gram(gram)
+    flat = gram.reshape((-1,) + gram.shape[-2:])
+    out = jax.vmap(_erank_from_gram)(flat)
+    return out.reshape(gram.shape[:-2])
+
+
+def effective_rank_loss(
+    x: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    target: Optional[float] = None,
+) -> jnp.ndarray:
+    """Rank-targeting penalty for the train loop.
+
+    Without a target: ``-erank`` (maximize rank — counter collapse).
+    With a target: ``(erank - target)^2`` (pin the spectrum width).
+    Batched inputs are averaged.
+    """
+    er = effective_rank(x, mask)
+    if target is None:
+        loss = -er
+    else:
+        loss = (er - target) ** 2
+    return jnp.mean(loss)

@@ -1,0 +1,95 @@
+"""Device mesh + sharding layout.
+
+The reference's entire distribution story is single-process
+``nn.DataParallel`` over local GPUs (main.py:115) — no process groups, no
+collectives (SURVEY.md §2.7).  The TPU-native equivalent is declarative: one
+``jax.sharding.Mesh`` over the ICI fabric with
+
+- axis ``dp``: the batch dimension (the DataParallel counterpart). Gradients
+  are reduced by XLA-inserted all-reduces over ICI inside the jitted step.
+- axis ``tp``: optional tensor parallelism for wide layers (the 19200->h
+  depth projection kernel and the 4h FFNs shard column-/row-wise). The
+  reference has no TP; the axis exists so larger configs scale without a
+  rewrite, and is exercised by the multi-chip dry run.
+
+No communication code lives anywhere else: shardings go in, XLA emits
+psum/all-gather over ICI.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    dp: int = -1, tp: int = 1, devices: Optional[Sequence[Any]] = None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp == -1:
+        dp = n // tp
+    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+    arr = np.array(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis over dp, everything else replicated."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# param-path regex -> PartitionSpec for tensor parallelism. Kernels are
+# [in, out]; column-parallel on the first projection, row-parallel on the
+# second so each FFN needs a single psum.
+_TP_RULES = [
+    (r".*depth_projection.*kernel", P(None, "tp")),
+    (r".*ffn/linear1/kernel", P(None, "tp")),
+    (r".*ffn/linear1/bias", P("tp")),
+    (r".*ffn/linear2/kernel", P("tp", None)),
+    (r".*mlp1/kernel", P(None, "tp")),
+    (r".*mlp1/bias", P("tp")),
+    (r".*mlp2/kernel", P("tp", None)),
+]
+
+
+def _spec_for_path(path: str, shape) -> P:
+    for pattern, spec in _TP_RULES:
+        if re.fullmatch(pattern, path):
+            # only shard if the dimension divides evenly at trace time; the
+            # caller checks against the mesh size
+            return spec
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding tree for a param/batch_stats pytree: TP rules where they
+    match and divide evenly, replicated otherwise."""
+    tp = mesh.shape["tp"]
+
+    def assign(path, leaf):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        spec = _spec_for_path(name, leaf.shape)
+        if spec != P():
+            # verify divisibility on the sharded axis
+            for dim, axis in enumerate(spec):
+                if axis == "tp" and leaf.shape[dim] % tp != 0:
+                    spec = P()
+                    break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Land a host batch on device, split over the dp axis."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

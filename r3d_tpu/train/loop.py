@@ -1,0 +1,246 @@
+"""Config-driven training loop.
+
+One loop replaces the reference's seven forked ``train/train_*.py`` files;
+the per-variant differences (which CE, which exclude class, weighted or not,
+curriculum gating) are data, not code (TrainConfig.loop).
+
+The hot path is a single jitted+donated train step: forward, all losses,
+backward, AdamW update, BN stat update — one XLA program per bucket shape.
+On a mesh, the batch arrives dp-sharded and XLA inserts the gradient
+all-reduce (the TPU equivalent of the reference's nn.DataParallel,
+SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r3d_tpu.config import Config
+from r3d_tpu.losses import (
+    accuracy_counts,
+    cross_entropy_loss,
+    duration_loss,
+    focal_loss,
+    weighted_cross_entropy_loss,
+)
+from r3d_tpu.models import build_model, is_fusion_model
+from r3d_tpu.ops import effective_rank_loss
+from r3d_tpu.train.optim import make_optimizer
+from r3d_tpu.train.state import TrainState, create_train_state
+
+
+def last_non_padding_labels(past_label: jnp.ndarray, pad_idx: int) -> jnp.ndarray:
+    """[B, S] -> [B]: the last non-pad label per row; pad_idx if all-pad
+    (train_proposed_depth.py:28-50)."""
+    B, S = past_label.shape
+    valid = past_label != pad_idx
+    any_valid = jnp.any(valid, axis=-1)
+    last_idx = jnp.argmax(
+        jnp.where(valid, jnp.arange(S)[None, :], -1), axis=-1
+    )
+    last = jnp.take_along_axis(past_label, last_idx[:, None], axis=-1)[:, 0]
+    return jnp.where(any_valid, last, pad_idx)
+
+
+class Trainer:
+    """Builds jitted train/eval steps for a Config and runs the epoch loop."""
+
+    def __init__(self, config: Config, n_class: int, mesh=None):
+        self.config = config
+        self.n_class = n_class
+        self.pad_idx = n_class + 1  # main_utkinects.py:109
+        self.model = build_model(config.model, n_class)
+        self.is_fusion = is_fusion_model(config.model.model)
+        self.mesh = mesh
+        self.tx = None
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray],
+                   steps_per_epoch: int) -> TrainState:
+        self.tx = make_optimizer(self.config.train, steps_per_epoch)
+        inputs = self._model_inputs(example_batch, with_mask=False)
+        return create_train_state(rng, self.model, self.tx, inputs)
+
+    def _model_inputs(self, batch, with_mask: bool) -> Tuple:
+        mask = (
+            (batch["past_label"] == self.pad_idx) if with_mask else None
+        )
+        if self.is_fusion:
+            return (batch["features"], batch["depth_features"], mask)
+        return (batch["features"], mask)
+
+    # ------------------------------------------------------------- loss logic
+    def _losses(self, outputs, batch, train: bool):
+        cfg = self.config
+        pad = self.pad_idx
+        excl = cfg.train.exclude_class_idx
+        past_label = batch["past_label"]
+        target = batch["trans_future_target"]
+        dur = batch["trans_future_dur"]
+        dur_mask = (dur != pad).astype(jnp.float32)
+
+        total = jnp.zeros((), jnp.float32)
+        metrics: Dict[str, jnp.ndarray] = {}
+
+        if cfg.model.seg and "seg" in outputs:
+            seg = outputs["seg"]
+            seg_flat = seg.reshape(-1, seg.shape[-1])
+            gold = past_label.reshape(-1)
+            loss_seg, _ = cross_entropy_loss(seg_flat, gold, pad, excl)
+            nc, nw = accuracy_counts(seg_flat, gold, pad, excl)
+            total = total + loss_seg
+            metrics.update(loss_seg=loss_seg, seg_correct=nc, seg_total=nw)
+
+        if cfg.model.anticipate:
+            act = outputs["action"]
+            act_flat = act.reshape(-1, act.shape[-1])
+            gold_t = target.reshape(-1)
+            if cfg.train.weighted_ce:
+                reference = last_non_padding_labels(past_label, pad)
+                loss_cls, _ = weighted_cross_entropy_loss(
+                    act_flat, gold_t, pad, reference, target[:, 0], excl
+                )
+            else:
+                loss_cls, _ = cross_entropy_loss(act_flat, gold_t, pad, excl)
+            nc, nw = accuracy_counts(act_flat, gold_t, pad, excl)
+            total = total + loss_cls
+            metrics.update(loss_cls=loss_cls, cls_correct=nc, cls_total=nw)
+
+            loss_dur = duration_loss(outputs["duration"], dur * dur_mask, dur_mask)
+            total = total + loss_dur
+            metrics.update(loss_dur=loss_dur)
+
+        if cfg.model.erank_weight > 0.0 and "fused" in outputs:
+            valid = (past_label != pad).astype(jnp.float32)
+            loss_rank = effective_rank_loss(
+                outputs["fused"], valid, cfg.model.erank_target
+            )
+            total = total + cfg.model.erank_weight * loss_rank
+            metrics.update(loss_erank=loss_rank)
+
+        metrics["loss"] = total
+        return total, metrics
+
+    # ------------------------------------------------------------- train step
+    def make_train_step(self):
+        model, is_fusion = self.model, self.is_fusion
+        tx = self.tx
+        has_bn = True  # harmless when batch_stats is empty
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, rng):
+            def loss_fn(params):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                mask = batch["past_label"] == self.pad_idx
+                args = (
+                    (batch["features"], batch["depth_features"], mask)
+                    if is_fusion
+                    else (batch["features"], mask)
+                )
+                outputs, mutated = model.apply(
+                    variables, *args, train=True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"],
+                )
+                total, metrics = self._losses(outputs, batch, train=True)
+                return total, (metrics, mutated.get("batch_stats", {}))
+
+            (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
+            return state, metrics
+
+        return train_step
+
+    def make_eval_step(self):
+        model, is_fusion = self.model, self.is_fusion
+
+        @jax.jit
+        def eval_step(state: TrainState, batch):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            # reference validate runs the test-mode forward: no pad masks, BN
+            # running stats, no dropout (train_proposed_depth.py:52-108;
+            # see COMPAT.md on the reference's tuple-input crash there)
+            args = (
+                (batch["features"], batch["depth_features"], None)
+                if is_fusion
+                else (batch["features"], None)
+            )
+            outputs = model.apply(variables, *args, train=False)
+            _, metrics = self._losses(outputs, batch, train=False)
+            return metrics
+
+        return eval_step
+
+    # ------------------------------------------------------------ outer loop
+    def fit(
+        self,
+        state: TrainState,
+        train_loader,
+        val_loader,
+        seed: int,
+        checkpointer=None,
+        log=print,
+    ) -> TrainState:
+        cfg = self.config.train
+        train_step = self.make_train_step()
+        eval_step = self.make_eval_step()
+        rng = jax.random.PRNGKey(seed)
+
+        best_val_acc = 0.0
+        best_weight_acc = 0.0
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            agg: Dict[str, float] = {}
+            n_batches = 0
+            n_clips = 0
+            for batch in train_loader:
+                if batch["features"].shape[0] < cfg.min_train_batch:
+                    continue  # BN guard (train_proposed_depth.py:148)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = train_step(state, batch, step_rng)
+                n_batches += 1
+                n_clips += batch["features"].shape[0]
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+
+            dt = time.time() - t0
+            loss = agg.get("loss", 0.0) / max(n_batches, 1)
+            acc = agg.get("cls_correct", 0.0) / max(agg.get("cls_total", 0.0), 1.0)
+            log(
+                f"Epoch [{epoch + 1}/{cfg.epochs}] Loss : {loss:.3f} "
+                f"Acc : {acc:.3f} ({n_clips / max(dt, 1e-9):.1f} clips/s)"
+            )
+
+            # validation (per epoch, as every reference loop does)
+            vagg: Dict[str, float] = {}
+            vb = 0
+            for batch in val_loader:
+                metrics = eval_step(state, batch)
+                vb += 1
+                for k, v in metrics.items():
+                    vagg[k] = vagg.get(k, 0.0) + float(v)
+            val_acc = vagg.get("cls_correct", 0.0) / max(vagg.get("cls_total", 0.0), 1.0)
+            val_loss = vagg.get("loss", 0.0) / max(vb, 1)
+            # uniform-weight val "weighted accuracy" — see losses docstring
+            weight_acc = val_acc
+            log(
+                f"Validation Loss: {val_loss:.3f}, Class Accuracy: {val_acc:.3f}"
+            )
+
+            if val_acc > best_val_acc or weight_acc > best_weight_acc:
+                best_val_acc = max(val_acc, best_val_acc)
+                best_weight_acc = max(weight_acc, best_weight_acc)
+                if checkpointer is not None:
+                    checkpointer.save_best(state, seed=seed, epoch=epoch)
+                    log(f"Best model saved (val acc {val_acc:.3f})")
+
+        return state

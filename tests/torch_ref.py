@@ -1,0 +1,194 @@
+"""Helpers to run the REFERENCE PyTorch models on CPU as parity oracles.
+
+We import the reference from /root/reference (never copy it), patch the two
+hard-coded ``.to('cuda')`` call sites so it runs on CPU, and provide
+torch->flax weight-tree conversion.
+"""
+
+import sys
+import types
+
+import numpy as np
+
+from conftest import reference_on_path
+
+reference_on_path()
+
+import torch  # noqa: E402
+
+
+class RefArgs:
+    """Stand-in for the reference argparse namespace (opts.py)."""
+
+    def __init__(self, **kw):
+        self.seg = True
+        self.anticipate = True
+        self.pos_emb = True
+        self.input_type = "i3d_transcript"
+        self.input_dim = 2048
+        self.max_pos_len = 2000
+        self.sample_rate = 1
+        self.__dict__.update(kw)
+
+
+def patch_cuda_free():
+    """Make the reference models runnable on CPU: several forwards contain
+    hard-coded ``.to('cuda')`` (e.g. futr_safuser_batchnormalization.py:88).
+    Redirect any cuda target of Tensor.to to cpu, test-process-wide."""
+    if getattr(torch.Tensor, "_r3d_to_patched", False):
+        return
+    orig_to = torch.Tensor.to
+
+    def _is_cuda(a):
+        return (isinstance(a, str) and a.startswith("cuda")) or (
+            isinstance(a, torch.device) and a.type == "cuda"
+        )
+
+    def patched_to(self, *args, **kwargs):
+        args = tuple("cpu" if _is_cuda(a) else a for a in args)
+        if _is_cuda(kwargs.get("device")):
+            kwargs["device"] = "cpu"
+        return orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = patched_to
+    torch.Tensor._r3d_to_patched = True
+
+
+def zero_dropout(model):
+    for m in model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        if isinstance(m, torch.nn.MultiheadAttention):
+            m.dropout = 0.0
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+def linear(params, prefix, t_linear):
+    params[prefix] = {"kernel": t2n(t_linear.weight).T, "bias": t2n(t_linear.bias)}
+
+
+def layernorm(params, prefix, t_ln):
+    params[prefix] = {"scale": t2n(t_ln.weight), "bias": t2n(t_ln.bias)}
+
+
+def mha(params, prefix, t_mha):
+    """torch nn.MultiheadAttention -> our MultiheadAttention param dict."""
+    C = t_mha.embed_dim
+    w = t2n(t_mha.in_proj_weight)
+    b = t2n(t_mha.in_proj_bias)
+    params[prefix] = {
+        "q_proj": {"kernel": w[:C].T, "bias": b[:C]},
+        "k_proj": {"kernel": w[C : 2 * C].T, "bias": b[C : 2 * C]},
+        "v_proj": {"kernel": w[2 * C :].T, "bias": b[2 * C :]},
+        "out_proj": {
+            "kernel": t2n(t_mha.out_proj.weight).T,
+            "bias": t2n(t_mha.out_proj.bias),
+        },
+    }
+
+
+def decoder_layer(t_layer):
+    p = {}
+    mha(p, "self_attn", t_layer.self_attn)
+    mha(p, "cross_attn", t_layer.multihead_attn)
+    ffn = {}
+    linear(ffn, "linear1", t_layer.linear1)
+    linear(ffn, "linear2", t_layer.linear2)
+    p["ffn"] = ffn
+    layernorm(p, "norm1", t_layer.norm1)
+    layernorm(p, "norm2", t_layer.norm2)
+    layernorm(p, "norm3", t_layer.norm3)
+    return p
+
+
+def encoder_layer(t_layer):
+    p = {}
+    mha(p, "self_attn", t_layer.self_attn)
+    ffn = {}
+    linear(ffn, "linear1", t_layer.linear1)
+    linear(ffn, "linear2", t_layer.linear2)
+    p["ffn"] = ffn
+    layernorm(p, "norm1", t_layer.norm1)
+    layernorm(p, "norm2", t_layer.norm2)
+    return p
+
+
+def transformer_params(t_transformer, use_encoder=False):
+    p = {"decoder": {}}
+    for i, layer in enumerate(t_transformer.decoder.layers):
+        p["decoder"][f"layer{i}"] = decoder_layer(layer)
+    layernorm(p["decoder"], "norm", t_transformer.decoder.norm)
+    if use_encoder:
+        p["encoder"] = {}
+        for i, layer in enumerate(t_transformer.encoder.layers):
+            p["encoder"][f"layer{i}"] = encoder_layer(layer)
+    return p
+
+
+def futr_params(t_model, use_encoder=False):
+    """Reference model/futr.py FUTR -> our FUTR param tree."""
+    p = {"embed": {}, "heads": {}}
+    linear(p["embed"], "input_embed", t_model.input_embed)
+    p["pos_embedding"] = t2n(t_model.pos_embedding)
+    p["query_embed"] = t2n(t_model.query_embed.weight)
+    p["transformer"] = transformer_params(t_model.transformer, use_encoder)
+    linear(p["heads"], "fc", t_model.fc)
+    linear(p["heads"], "fc_len", t_model.fc_len)
+    linear(p["heads"], "fc_seg", t_model.fc_seg)
+    return p
+
+
+def fuser_block_params(t_block):
+    p = {}
+    layernorm(p, "norm1", t_block.norm1)
+    p["qkv_kernel"] = t2n(t_block.attn.qkv.weight).T
+    linear(p, "proj", t_block.attn.proj)
+    layernorm(p, "norm2", t_block.norm2)
+    linear(p, "mlp1", t_block.mlp.mlp[0])
+    linear(p, "mlp2", t_block.mlp.mlp[2])
+    return p
+
+
+def fusion_params(t_model, use_encoder=False):
+    """Reference futr_safuser_batchnormalization FUTR -> our FUTRFusion tree.
+
+    Returns (params, batch_stats).
+    """
+    p = futr_params_common(t_model, use_encoder)
+    fuser = {"alpha": t2n(t_model.fuser.alpha)}
+    bn_stats = {}
+    for name, t_bn in [("bn_rgb", t_model.fuser.bn_rgb), ("bn_depth", t_model.fuser.bn_depth)]:
+        fuser[name] = {"scale": t2n(t_bn.weight), "bias": t2n(t_bn.bias)}
+        bn_stats[name] = {
+            "mean": t2n(t_bn.running_mean),
+            "var": t2n(t_bn.running_var),
+        }
+    safuser = {}
+    for i, blk in enumerate(t_model.fuser.blocks):
+        safuser[f"block{i}"] = fuser_block_params(blk)
+    layernorm(safuser, "norm", t_model.fuser.norm)
+    fuser["safuser"] = safuser
+    p["fuser"] = fuser
+
+    depth_embed = {}
+    linear(depth_embed, "depth_projection", t_model.depth_projection)
+    layernorm(depth_embed, "depth_layernorm", t_model.depth_layernorm)
+    p["depth_embed"] = depth_embed
+
+    batch_stats = {"fuser": bn_stats}
+    return p, batch_stats
+
+
+def futr_params_common(t_model, use_encoder=False):
+    p = {"embed": {}, "heads": {}}
+    linear(p["embed"], "input_embed", t_model.input_embed)
+    p["pos_embedding"] = t2n(t_model.pos_embedding)
+    p["query_embed"] = t2n(t_model.query_embed.weight)
+    p["transformer"] = transformer_params(t_model.transformer, use_encoder)
+    linear(p["heads"], "fc", t_model.fc)
+    linear(p["heads"], "fc_len", t_model.fc_len)
+    linear(p["heads"], "fc_seg", t_model.fc_seg)
+    return p
