@@ -1,0 +1,106 @@
+"""Benchmark: RGB-D fusion FUTR training throughput on one TPU chip.
+
+Workload matches tools/measure_baseline.py (the PyTorch-CPU reference run on
+the same shapes): UTKinect config — B=8, S=256, 2048-d RGB features,
+160x120 raw depth, hidden 128, BN token fuser, full train step (forward,
+seg+weighted-CE+duration losses, backward, AdamW, BN stats).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against baseline_cpu.json (torch-CPU reference,
+22.14 train clips/s — regenerate with tools/measure_baseline.py).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from r3d_tpu.config import get_config
+    from r3d_tpu.data.pipeline import BucketedLoader
+    from r3d_tpu.data.synthetic import SyntheticSource
+    from r3d_tpu.train.loop import Trainer
+
+    B, S = 8, 256
+    n_actions = 16  # UTKinect L2
+    src = SyntheticSource(
+        n_videos=8, n_actions=n_actions, vid_len_range=(S, S + 1),
+        input_dim=2048, depth_shape=(160, 120), seed=0,
+    )
+    config = get_config("utkinects")
+    config = config.replace(
+        data=config.data.__class__(
+            dataset="synthetic", seq_buckets=(S,), depth_shape=(160, 120)
+        ),
+        train=config.train.__class__(
+            loop="proposed_depth", batch_size=B, epochs=1, min_train_batch=0,
+            weighted_ce=True, exclude_class_idx=None,
+        ),
+    )
+
+    fn, n = src.make_example_fn(obs_percs=(0.99,), sample_rate=1, n_query=8)
+    loader = BucketedLoader(
+        num_examples=n, make_example_fn=fn, batch_size=B, pad_idx=src.pad_idx,
+        buckets=(S,), n_query=8, with_depth=True, drop_remainder=True,
+    )
+    batch = next(iter(loader))
+    batch = jax.tree.map(jnp.asarray, batch)  # land on device once
+
+    trainer = Trainer(config, src.n_class)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, steps_per_epoch=100)
+    step = trainer.make_train_step()
+    rng = jax.random.PRNGKey(1)
+
+    # train-step throughput. NOTE: the step donates state; keep the chain.
+    state, m = step(state, batch, rng, 0)  # compile
+    jax.block_until_ready(m["loss"])
+    n_steps = 20
+    t0 = time.time()
+    for i in range(n_steps):
+        state, m = step(state, batch, jax.random.fold_in(rng, i), 0)
+    jax.block_until_ready(m["loss"])
+    train_sec = (time.time() - t0) / n_steps
+    train_cps = B / train_sec
+
+    # inference throughput
+    eval_step = trainer.make_eval_step()
+    m = eval_step(state, batch)
+    jax.block_until_ready(m["loss"])
+    t0 = time.time()
+    for _ in range(n_steps):
+        m = eval_step(state, batch)
+    jax.block_until_ready(m["loss"])
+    infer_sec = (time.time() - t0) / n_steps
+    infer_cps = B / infer_sec
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
+    baseline_cps = 22.137841088845267  # torch-CPU reference (measured)
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline_cps = json.load(f)["train_clips_per_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "fusion_train_clips_per_sec_per_chip",
+                "value": round(train_cps, 2),
+                "unit": "clips/s",
+                "vs_baseline": round(train_cps / baseline_cps, 2),
+                "details": {
+                    "workload": "futr_fusion_bn B=8 S=256 in=2048 depth=160x120 h=128",
+                    "infer_clips_per_sec": round(infer_cps, 2),
+                    "train_step_ms": round(train_sec * 1e3, 2),
+                    "baseline": "torch-cpu reference (baseline_cpu.json)",
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Reference-compatible CLI flags (reference opts.py) -> Config overrides.
+
+Every flag of the reference parser is accepted; the per-dataset comment
+blocks become ``--config <name>`` selecting a named Config, with individual
+flags overriding its fields.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from r3d_tpu.config import CONFIGS, Config
+
+
+def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=default_config, choices=sorted(CONFIGS))
+    p.add_argument("--model", default=None, help="model type override")
+    p.add_argument("--mode", default="train_eval",
+                   choices=["train", "predict", "train_eval"])
+    p.add_argument("--dataset", type=str, default=None)
+    p.add_argument("--predict", "-p", action="store_true")
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--split", default=None)
+    p.add_argument("--task", type=str, default="long")
+    p.add_argument("--dataset_ops", type=str, default="",
+                   help="run tag baked into checkpoint dirs (main_utkinects.py:185)")
+    # training (opts.py:72-88)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--test_batch_size", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--warmup_epochs", type=int, default=None)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--sample_rate", type=int, default=None)
+    p.add_argument("--obs_perc", default=30)
+    p.add_argument("--n_query", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None, help="single seed override")
+    # FUTR arch (opts.py:91-97)
+    p.add_argument("--n_head", type=int, default=None)
+    p.add_argument("--hidden_dim", type=int, default=None)
+    p.add_argument("--n_encoder_layer", type=int, default=None)
+    p.add_argument("--n_decoder_layer", type=int, default=None)
+    p.add_argument("--dropout", type=float, default=None)
+    p.add_argument("--input_dim", type=int, default=None)
+    # model flags (opts.py:100-103)
+    p.add_argument("--seg", action="store_true", default=None)
+    p.add_argument("--anticipate", action="store_true", default=None)
+    p.add_argument("--pos_emb", action="store_true", default=None)
+    p.add_argument("--max_pos_len", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=0.07)
+    p.add_argument("--input_type", default=None)
+    p.add_argument("--runs", default=0)
+    # TPU-native extensions
+    p.add_argument("--erank_weight", type=float, default=None)
+    p.add_argument("--erank_target", type=float, default=None)
+    p.add_argument("--compute_dtype", default=None)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    cfg = CONFIGS[args.config]
+
+    data_over = {}
+    for field, arg in [
+        ("data_root", "data_root"), ("split", "split"), ("sample_rate", "sample_rate"),
+    ]:
+        v = getattr(args, arg)
+        if v is not None:
+            data_over[field] = v
+    model_over = {}
+    for field, arg in [
+        ("model", "model"), ("hidden_dim", "hidden_dim"), ("n_head", "n_head"),
+        ("n_encoder_layers", "n_encoder_layer"), ("n_decoder_layers", "n_decoder_layer"),
+        ("n_query", "n_query"), ("input_dim", "input_dim"),
+        ("max_pos_len", "max_pos_len"), ("dropout", "dropout"),
+        ("input_type", "input_type"), ("erank_weight", "erank_weight"),
+        ("erank_target", "erank_target"), ("compute_dtype", "compute_dtype"),
+    ]:
+        v = getattr(args, arg)
+        if v is not None:
+            model_over[field] = v
+    train_over = {}
+    for field, arg in [
+        ("batch_size", "batch_size"), ("epochs", "epochs"),
+        ("warmup_epochs", "warmup_epochs"), ("lr", "lr"),
+        ("weight_decay", "weight_decay"),
+    ]:
+        v = getattr(args, arg)
+        if v is not None:
+            train_over[field] = v
+    if args.seed is not None:
+        train_over["seeds"] = (args.seed,)
+
+    return cfg.replace(
+        data=dataclasses.replace(cfg.data, **data_over),
+        model=dataclasses.replace(cfg.model, **model_over),
+        train=dataclasses.replace(cfg.train, **train_over),
+    )
+
+
+def run_from_argv(default_config: str, argv=None):
+    from r3d_tpu.cli.run import main
+
+    args = build_parser(default_config).parse_args(argv)
+    config = config_from_args(args)
+    mode = "predict" if args.predict else args.mode
+    return main(config, mode=mode, dataset_ops=args.dataset_ops)

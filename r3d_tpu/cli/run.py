@@ -1,0 +1,116 @@
+"""Train / predict orchestration — the reference main_*.py flow, config-driven.
+
+Reference flow (main_utkinects.py:50-188): seed everything, read mapping +
+splits, build model + AdamW + warmup-cosine + datasets, then either train
+(with per-epoch validation and best-ckpt saving) or sweep obs ratios x seeds
+loading each best checkpoint and printing MoC lines.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from r3d_tpu.config import Config
+from r3d_tpu.data.datasets import VideoSource, build_loader, build_source
+from r3d_tpu.eval.predict import Predictor
+from r3d_tpu.models import build_model
+from r3d_tpu.train.checkpoint import Checkpointer
+from r3d_tpu.train.loop import Trainer
+
+
+def save_path(config: Config, dataset_ops: str = "") -> str:
+    # mirrors main_utkinects.py:118-119 layout
+    return os.path.join(
+        config.train.save_dir, config.data.dataset, "long", "model/transformer",
+        config.data.split, config.model.input_type, "runs0", f"_{dataset_ops}",
+    )
+
+
+def _splits(config: Config):
+    d = config.data
+    return (
+        d.train_split.format(split=d.split),
+        d.val_split.format(split=d.split),
+    )
+
+
+def train(config: Config, seed: int, dataset_ops: str = "",
+          sources: Optional[Dict[str, VideoSource]] = None, log=print):
+    """Train one seed; returns (trainer, final_state, checkpointer)."""
+    train_name, val_name = _splits(config)
+    if sources is None:
+        sources = {
+            "train": build_source(config.data, train_name),
+            "val": build_source(config.data, val_name),
+        }
+    src = sources["train"]
+    trainer = Trainer(config, src.n_class)
+
+    train_loader = build_loader(
+        src, config.data, config.train.batch_size, config.model.n_query,
+        mode="train", shuffle=True, seed=seed,
+    )
+    val_loader = build_loader(
+        sources["val"], config.data, config.train.batch_size,
+        config.model.n_query, mode="val", shuffle=False,
+    )
+
+    example = next(iter(train_loader))
+    state = trainer.init_state(
+        jax.random.PRNGKey(seed), example, steps_per_epoch=max(len(train_loader), 1)
+    )
+    ckpt = Checkpointer(save_path(config, dataset_ops))
+    state = trainer.fit(state, train_loader, val_loader, seed, checkpointer=ckpt, log=log)
+    return trainer, state, ckpt
+
+
+def predict(config: Config, dataset_ops: str = "", seeds=None,
+            source: Optional[VideoSource] = None, log=print) -> Dict[str, Dict[str, float]]:
+    """Obs-ratio sweep x seed average (main_utkinects.py:138-165)."""
+    _, val_name = _splits(config)
+    if source is None:
+        source = build_source(config.data, val_name)
+    seeds = seeds if seeds is not None else config.train.seeds
+    model = build_model(config.model, source.n_class)
+    predictor = Predictor(config, model, source.n_class)
+
+    # template state for checkpoint restore
+    trainer = Trainer(config, source.n_class)
+    loader = build_loader(
+        source, config.data, config.train.batch_size, config.model.n_query,
+        mode="val", shuffle=False,
+    )
+    example = next(iter(loader))
+    template = trainer.init_state(jax.random.PRNGKey(0), example, steps_per_epoch=1)
+
+    ckpt = Checkpointer(save_path(config, dataset_ops))
+    all_results: Dict[str, Dict[str, float]] = {}
+    for obs_p in config.eval.obs_percs:
+        per_seed = []
+        for seed in seeds:
+            if not ckpt.has(f"seed_{seed}_best"):
+                log(f"missing checkpoint seed_{seed}_best — skipping")
+                continue
+            state = ckpt.restore_best(seed, template)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            res = predictor.predict(variables, source, obs_p, log=log)
+            per_seed.append(res)
+        if per_seed:
+            keys = per_seed[0].keys()
+            all_results[f"obs{obs_p}"] = {
+                k: float(np.mean([r[k] for r in per_seed])) for k in keys
+            }
+    return all_results
+
+
+def main(config: Config, mode: str = "train", dataset_ops: str = "", log=print):
+    if mode in ("train", "train_eval"):
+        for seed in config.train.seeds:
+            log(f"=== training seed {seed} ===")
+            train(config, seed, dataset_ops, log=log)
+    if mode in ("predict", "train_eval"):
+        return predict(config, dataset_ops, log=log)

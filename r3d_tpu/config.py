@@ -29,9 +29,17 @@ class DataConfig:
     gt_dir: str = "groundTruth"
     splits_dir: str = "splits"
     split: str = "1"
+    # split file templates: utk/darai/ntu use train_split.txt/val_split.txt
+    # (main_utkinects.py:89-94); breakfast/50salads use
+    # train.split{split}.bundle/test.split{split}.bundle (main.py:62-73)
+    train_split: str = "train_split.txt"
+    val_split: str = "val_split.txt"
     # csv ground-truth files carry "img,L2,L3" rows (basedataset_utkinects.py:96-102);
     # plain files carry one label per line (basedataset.py:57).
     gt_format: str = "csv"              # csv|plain
+    # breakfast/50salads feature files are stored [C, S] and transposed at
+    # load (basedataset.py:53-54); utk/ntu/darai are frame-major already.
+    features_transposed: bool = False
     sample_rate: int = 1                # opts.py:82-85 (bf 3, 50salads 6, darai 15, utk/ntu 1)
     # Train-time observation-ratio replication (basedataset.py:28-32 vs
     # basedataset_utkinects.py:31-42).
@@ -100,8 +108,12 @@ class TrainConfig:
     label_smoothing: bool = False
     save_dir: str = "./save_dir"
     log_every: int = 50
-    # curriculum loop (train_unsupervised.py)
+    # curriculum loop (train_unsupervised.py:360: triangular 0 -> peak -> end)
     warmup_loss_epochs: Tuple[int, int] = (30, 60)
+    # L3 focal-loss pad/exclude ids (train_unsupervised.py:306 passes 47, 48)
+    l3_pad_idx: Optional[int] = None
+    l3_exclude_idx: Optional[int] = None
+    max_segments: int = 32              # static cap for the cluster losses
 
 
 @dataclass(frozen=True)
@@ -147,7 +159,9 @@ CONFIGS = {
         name="50salads",
         data=DataConfig(
             dataset="50salads", mapping_file="mapping_l1.txt", features_dir="features",
+            train_split="train.split{split}.bundle", val_split="test.split{split}.bundle",
             depth_features_dir=None, gt_format="plain", sample_rate=6,
+            features_transposed=True,
             train_obs_percs=(0.2, 0.3, 0.5), seq_buckets=(128, 256, 512, 1024, 3100),
         ),
         model=ModelConfig(
@@ -161,7 +175,9 @@ CONFIGS = {
         name="breakfast",
         data=DataConfig(
             dataset="breakfast", mapping_file="mapping.txt", features_dir="features",
+            train_split="train.split{split}.bundle", val_split="test.split{split}.bundle",
             depth_features_dir=None, gt_format="plain", sample_rate=3,
+            features_transposed=True,
             train_obs_percs=(0.2, 0.3, 0.5), seq_buckets=(128, 256, 512, 1024, 2000),
         ),
         model=ModelConfig(
@@ -184,8 +200,11 @@ CONFIGS = {
             dataset="darai", sample_rate=15, depth_shape=(224, 224),
             train_obs_percs=(0.2, 0.3, 0.5),
         ),
-        model=ModelConfig(model="futr_fusion_bn", query_num=48),
-        train=TrainConfig(loop="unsupervised", exclude_class_idx=None),
+        model=ModelConfig(model="futr_unsupervised", query_num=48),
+        train=TrainConfig(
+            loop="unsupervised", exclude_class_idx=None,
+            l3_pad_idx=47, l3_exclude_idx=48,
+        ),
     ),
     # NTURGBD RGB-D fusion (main_nturgbd.py; fusion wiring, not the RNN ablation)
     "nturgbd": _cfg(

@@ -32,13 +32,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def segment_ids_from_labels(labels: np.ndarray, valid: np.ndarray, max_segments: int) -> np.ndarray:
+def segment_ids_from_labels(
+    labels: np.ndarray, valid: Optional[np.ndarray], max_segments: int
+) -> np.ndarray:
     """Per-frame run index from per-frame labels (host-side helper).
 
-    Mirrors train_unsupervised.get_cluster_intervals: a new segment starts
-    whenever the label changes. Invalid frames get -1.
+    Mirrors train_unsupervised.get_cluster_intervals:34-64: a new segment
+    starts whenever the label changes; the reference runs it on the raw
+    padded label map, so ``valid=None`` (all frames) matches it. Invalid
+    frames (when a mask is given) get -1.
     """
     labels = np.asarray(labels)
+    if valid is None:
+        changes = np.zeros(labels.shape, dtype=np.int32)
+        changes[:, 1:] = (labels[:, 1:] != labels[:, :-1]).astype(np.int32)
+        seg = np.cumsum(changes, axis=1)
+        return np.minimum(seg, max_segments - 1).astype(np.int32)
     out = np.full(labels.shape, -1, dtype=np.int32)
     for b in range(labels.shape[0]):
         seg = -1
@@ -89,13 +98,18 @@ def temporal_cluster_loss(
     n_b = jnp.sum(exists, axis=-1)  # [B]
     multi = n_b > 1
     diff = means[:, :, None, :] - means[:, None, :, :]  # [B,K,K,C]
-    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff**2, axis=-1), 0.0))
+    sq = jnp.sum(diff**2, axis=-1)
     pair_valid = (
         exists[:, :, None]
         & exists[:, None, :]
         & (jnp.arange(max_segments)[:, None] < jnp.arange(max_segments)[None, :])
     )
     pair_valid = pair_valid & multi[:, None, None]
+    # double-where: sqrt'(0) is inf and would leak NaN through the masked
+    # branch's gradient; clamp inside the valid region too (coincident
+    # cluster means), matching torch.norm's 0-subgradient behavior
+    safe_sq = jnp.where(pair_valid, jnp.maximum(sq, 1e-12), 1.0)
+    dist = jnp.sqrt(safe_sq)
     inter_sum = jnp.sum(jnp.where(pair_valid, 1.0 / (1e-5 + dist), 0.0))
 
     # reference quirk: denominator uses the LAST multi-cluster batch's count
@@ -133,8 +147,25 @@ def temporal_contrastive_loss(
     log_ratio = -jnp.log(exp_sim / row_sum + 1e-5)
 
     same = (seg_ids[:, :, None] == seg_ids[:, None, :]) & valid[:, :, None] & valid[:, None, :]
-    eye = jnp.eye(T, dtype=bool)[None]
-    pos_mask = (same & ~eye).astype(predictions.dtype)
+    # reference quirk (utils.py:259): pos_mask is [N, T] per cluster and
+    # ``fill_diagonal_(0)`` zeroes ABSOLUTE columns 0..N-1 — i.e. for the row
+    # at in-cluster offset r it clears column r, which is the true self-pair
+    # only when the cluster starts at t=0. Reproduce exactly: clear column
+    # (t - cluster_start(t)) for each row t.
+    k_ids = jnp.clip(seg_ids, 0, max_segments - 1)
+    t_idx = jnp.arange(T)
+    first_t = jnp.min(
+        jnp.where(
+            (k_ids[:, None, :] == jnp.arange(max_segments)[None, :, None]) & valid[:, None, :],
+            t_idx[None, None, :],
+            T,
+        ),
+        axis=-1,
+    )  # [B, K] first frame of each cluster
+    start_t = jnp.take_along_axis(first_t, k_ids, axis=1)  # [B, T]
+    quirk_col = t_idx[None, :] - start_t  # in-cluster row offset
+    quirk = t_idx[None, None, :] == quirk_col[:, :, None]  # [B, T, T]
+    pos_mask = (same & ~quirk).astype(predictions.dtype)
 
     # per-cluster average then sum over clusters: group rows by cluster
     onehot = jax.nn.one_hot(jnp.clip(seg_ids, 0, max_segments - 1), max_segments,

@@ -1,0 +1,179 @@
+"""Ablation baselines: BiLSTM ("RNN"), pooling-only ("CNN"), dilated TCN.
+
+Re-implement reference model/rnn.py, model/cnn.py, model/tcn.py with the
+FUTR output contract (action/duration/seg + supcon stream).
+
+TPU notes: the BiLSTM is expressed as two jax.lax.scan passes (fused cells);
+the TCN's weight-normalized causal convolutions map to lax.conv with
+left-padding + static dilation — all static-shape, MXU-eligible.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from r3d_tpu.config import ModelConfig
+from r3d_tpu.models.futr import InputEmbed, _dtype
+from r3d_tpu.models.layers import adaptive_avg_pool1d, xavier
+
+
+class LSTMStack(nn.Module):
+    """2-layer bidirectional LSTM, torch nn.LSTM semantics
+    (rnn.py:20-21: hidden = dim//2 per direction, concat -> dim)."""
+
+    hidden: int
+    num_layers: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B = x.shape[0]
+        h = self.hidden // 2
+        for layer in range(self.num_layers):
+            outs = []
+            for direction in (0, 1):
+                cell = nn.OptimizedLSTMCell(h, name=f"l{layer}_d{direction}")
+                carry = cell.initialize_carry(
+                    jax.random.PRNGKey(0), (B, x.shape[-1])
+                )
+                inp = x if direction == 0 else x[:, ::-1]
+                # scan over time
+                def step(carry, xt):
+                    carry, out = cell(carry, xt)
+                    return carry, out
+
+                _, seq = jax.lax.scan(
+                    step, carry, jnp.swapaxes(inp, 0, 1)
+                )
+                seq = jnp.swapaxes(seq, 0, 1)
+                outs.append(seq if direction == 0 else seq[:, ::-1])
+            x = jnp.concatenate(outs, axis=-1)
+        return x
+
+
+class RNNAnticipator(nn.Module):
+    """reference model/rnn.py: embed -> BiLSTM -> fc -> pool(8) -> heads."""
+
+    cfg: ModelConfig
+    n_class: int
+
+    @nn.compact
+    def __call__(self, features, src_pad_mask=None, *, train: bool = False) -> Dict:
+        cfg = self.cfg
+        src = InputEmbed(cfg, self.n_class, name="embed")(features)
+        rnn_out = LSTMStack(cfg.hidden_dim, dtype=_dtype(cfg), name="rnn")(src)
+        tgt = nn.Dense(cfg.hidden_dim, kernel_init=xavier, dtype=_dtype(cfg),
+                       name="rnn_fc")(rnn_out)
+        pooled = adaptive_avg_pool1d(tgt, 8)  # rnn.py:97 hard-codes 8
+        out: Dict = {}
+        if cfg.anticipate:
+            out["action"] = nn.Dense(self.n_class, kernel_init=xavier,
+                                     dtype=_dtype(cfg), name="fc")(pooled).astype(jnp.float32)
+            out["duration"] = nn.Dense(1, kernel_init=xavier, dtype=_dtype(cfg),
+                                       name="fc_len")(pooled)[..., 0].astype(jnp.float32)
+        if cfg.seg:
+            out["seg"] = nn.Dense(self.n_class - 1, kernel_init=xavier,
+                                  dtype=_dtype(cfg), name="fc_seg")(src).astype(jnp.float32)
+        out["supcon"] = tgt
+        return out
+
+
+class CNNAnticipator(nn.Module):
+    """reference model/cnn.py: embed -> pool(8) -> heads (no temporal model)."""
+
+    cfg: ModelConfig
+    n_class: int
+
+    @nn.compact
+    def __call__(self, features, src_pad_mask=None, *, train: bool = False) -> Dict:
+        cfg = self.cfg
+        src = InputEmbed(cfg, self.n_class, name="embed")(features)
+        pooled = adaptive_avg_pool1d(src, 8)
+        out: Dict = {}
+        if cfg.anticipate:
+            out["action"] = nn.Dense(self.n_class, kernel_init=xavier,
+                                     dtype=_dtype(cfg), name="fc")(pooled).astype(jnp.float32)
+            out["duration"] = nn.Dense(1, kernel_init=xavier, dtype=_dtype(cfg),
+                                       name="fc_len")(pooled)[..., 0].astype(jnp.float32)
+        if cfg.seg:
+            out["seg"] = nn.Dense(self.n_class - 1, kernel_init=xavier,
+                                  dtype=_dtype(cfg), name="fc_seg")(src).astype(jnp.float32)
+        out["supcon"] = src
+        return out
+
+
+class WNCausalConv(nn.Module):
+    """Weight-normalized causal dilated 1-D conv (tcn.py:17-19: conv +
+    symmetric pad + chomp == left-pad only)."""
+
+    features: int
+    kernel_size: int
+    dilation: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
+        C_in = x.shape[-1]
+        v = self.param(
+            "v", nn.initializers.normal(0.01),
+            (self.kernel_size, C_in, self.features),
+        )
+        g = self.param(
+            "g",
+            lambda key, shape: jnp.linalg.norm(
+                v.reshape(-1, self.features), axis=0
+            ),
+            (self.features,),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
+        kernel = (v * (g / jnp.maximum(norm, 1e-12))).astype(self.dtype)
+        pad = (self.kernel_size - 1) * self.dilation
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel,
+            window_strides=(1,), padding=[(pad, 0)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + b.astype(self.dtype)
+
+
+class TCNAnticipator(nn.Module):
+    """reference model/tcn.py MustafaNet1DTCN: 4-level dilated TCN ->
+    1x1 regression -> [B, anticipated_frames, n_class]."""
+
+    cfg: ModelConfig
+    n_class: int
+    channels: Tuple[int, ...] = (256, 512, 512, 256)
+    kernel_size: int = 3
+    anticipated_frames: int = 8
+    drop: float = 0.2
+
+    @nn.compact
+    def __call__(self, features, src_pad_mask=None, *, train: bool = False) -> Dict:
+        x = features.astype(_dtype(self.cfg))
+        deterministic = not train
+        for i, ch in enumerate(self.channels):
+            dilation = 2 ** i
+            y = WNCausalConv(ch, self.kernel_size, dilation,
+                             dtype=_dtype(self.cfg), name=f"block{i}_conv1")(x)
+            y = nn.Dropout(self.drop)(nn.relu(y), deterministic=deterministic)
+            y = WNCausalConv(ch, self.kernel_size, dilation,
+                             dtype=_dtype(self.cfg), name=f"block{i}_conv2")(y)
+            y = nn.Dropout(self.drop)(nn.relu(y), deterministic=deterministic)
+            if x.shape[-1] != ch:
+                x = nn.Conv(ch, (1,), kernel_init=nn.initializers.normal(0.01),
+                            dtype=_dtype(self.cfg), name=f"block{i}_down")(x)
+            x = nn.relu(y + x)
+        logits = nn.Conv(
+            self.n_class * self.anticipated_frames, (1,),
+            dtype=_dtype(self.cfg), name="regression",
+        )(x)  # [B, T, Q*C]
+        B, T, _ = logits.shape
+        logits = logits.reshape(B, T, self.anticipated_frames, self.n_class)
+        action = jnp.mean(logits, axis=1).astype(jnp.float32)  # mean over time
+        return {"action": action}

@@ -116,4 +116,8 @@ class FUTRFusion(nn.Module):
             dtype=_dtype(cfg), name="transformer",
         )(fused, pos, action_query, src_pad_mask, deterministic=not train)
 
-        return Heads(cfg, self.n_class, name="heads")(hs, memory)
+        out = Heads(cfg, self.n_class, name="heads")(hs, memory)
+        # fused stream exposed for the effective-rank regularizer/metric
+        # (XLA drops it when unused)
+        out["fused"] = fused.astype(jnp.float32)
+        return out

@@ -1,0 +1,125 @@
+"""L3-query FUTR family (reference model/futr_unsupervised*.py,
+model/futr_proposed.py).
+
+These variants replace the learned n_query action queries with per-frame
+"L3" (fine-grained) queries:
+
+- ``query_source='self_attention'`` (futr_unsupervised.py:124-137): queries
+  are generated from the source stream itself — src goes through a
+  MultiheadAttention, sinusoidal PE is added, and the decoder runs with S
+  queries. The reference constructs that attention with ``batch_first=True``
+  but feeds (T, B, C) tensors, so it actually attends ACROSS THE BATCH at
+  each timestep; ``attend_over_batch=True`` reproduces that observable
+  behavior (COMPAT.md #17), False gives the evidently-intended per-sequence
+  temporal attention.
+- ``query_source='gt'`` (futr_proposed.py): queries are embeddings of the
+  ground-truth L3 label sequence + sinusoidal PE.
+
+Extra heads (futr_unsupervised.py:162-167): ``l3`` = fc_l3(action_query)
+computed on the PRE-decoder queries, and ``supcon`` = the query stream.
+Baseline-FUTR variant note: futr_baseline.py returns supcon=tgt; covered by
+the same flag.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from r3d_tpu.config import ModelConfig
+from r3d_tpu.models.futr import Heads, InputEmbed, _dtype
+from r3d_tpu.models.layers import (
+    MultiheadAttention,
+    sinusoidal_positional_encoding,
+    xavier,
+)
+from r3d_tpu.models.transformer import FUTRTransformer
+
+
+class FUTRUnsupervised(nn.Module):
+    cfg: ModelConfig
+    n_class: int
+    query_source: str = "self_attention"  # self_attention | gt
+    attend_over_batch: bool = True        # reference layout quirk (see module doc)
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jnp.ndarray,
+        query: Optional[jnp.ndarray] = None,      # [B, S] L3 label ids (gt mode)
+        src_pad_mask: Optional[jnp.ndarray] = None,
+        *,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        B, S = features.shape[0], features.shape[1]
+        dt = _dtype(cfg)
+        src = InputEmbed(cfg, self.n_class, name="embed")(features)
+
+        # sinusoidal PE + dropout on the source (futr_unsupervised.py:106,
+        # extras/position.py:15-35)
+        pe = sinusoidal_positional_encoding(cfg.max_pos_len, cfg.hidden_dim)[:S]
+        src = src + pe[None].astype(src.dtype)
+        src = nn.Dropout(0.1)(src, deterministic=not train)
+
+        pos = None
+        if cfg.pos_emb:
+            pos_embedding = self.param(
+                "pos_embedding", xavier, (1, cfg.max_pos_len, cfg.hidden_dim)
+            )
+            pos = jnp.broadcast_to(
+                pos_embedding[:, :S].astype(src.dtype), (B, S, cfg.hidden_dim)
+            )
+
+        if self.query_source == "gt":
+            # futr_proposed.py: queries = query_embed(gt L3 ids) + PE
+            assert query is not None, "gt query mode needs the L3 label sequence"
+            q_emb = nn.Embed(
+                cfg.query_num, cfg.hidden_dim, embedding_init=xavier,
+                dtype=dt, name="query_embed",
+            )(query.astype(jnp.int32))
+            action_query = q_emb + pe[None].astype(q_emb.dtype)
+        else:
+            attn = MultiheadAttention(
+                cfg.hidden_dim, cfg.n_head, dropout=0.0, dtype=dt,
+                name="l3_attention",
+            )
+            if self.attend_over_batch:
+                # (T,B,C) through a batch_first MHA == attention across the
+                # batch at each timestep
+                src_t = jnp.swapaxes(src, 0, 1)
+                src_l3 = jnp.swapaxes(
+                    attn(src_t, src_t, src_t, deterministic=not train), 0, 1
+                )
+            else:
+                src_l3 = attn(src, src, src, deterministic=not train)
+            action_query = src_l3 + pe[None].astype(src_l3.dtype)
+
+        # The L3 head is per-frame (fc_l3 over the full S-length query stream,
+        # futr_unsupervised.py:163), but the decoder queries must be pooled to
+        # n_query: the as-committed futr_unsupervised.py feeds S queries whose
+        # anticipation logits [B,S,C] cannot meet the loop's [B,n_query]
+        # targets (train_unsupervised.py:340 would crash); the runnable
+        # variants (futr_unsupervised_temp4.py and the Transformer's internal
+        # L3 path, transformer.py:121) adaptive-avg-pool to n_query — adopted
+        # here (COMPAT.md #18).
+        query_stream = action_query
+        from r3d_tpu.models.layers import adaptive_avg_pool1d
+
+        pooled_query = adaptive_avg_pool1d(query_stream, cfg.n_query)
+
+        memory, hs = FUTRTransformer(
+            cfg.hidden_dim, cfg.n_head, cfg.n_encoder_layers, cfg.n_decoder_layers,
+            cfg.hidden_dim * 4, cfg.dropout, use_encoder=cfg.use_encoder,
+            n_query=cfg.n_query, max_pos_len=cfg.max_pos_len,
+            dtype=dt, name="transformer",
+        )(src, pos, pooled_query, src_pad_mask, deterministic=not train)
+
+        out = Heads(cfg, self.n_class, name="heads")(hs, memory)
+        out["l3"] = nn.Dense(
+            cfg.query_num, kernel_init=xavier, dtype=dt, name="fc_l3"
+        )(query_stream).astype(jnp.float32)
+        out["supcon"] = query_stream
+        return out

@@ -86,9 +86,10 @@ def effective_rank(
     Masked rows are zeroed — zero rows leave the Gram matrix untouched, so
     this is exact masking, not an approximation.
     """
-    x = x.astype(jnp.float32)
+    if x.dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
+        x = x.astype(jnp.float32)  # bf16 features: the spectrum needs fp32
     if mask is not None:
-        x = x * mask.astype(jnp.float32)[..., None]
+        x = x * mask.astype(x.dtype)[..., None]
     gram = jnp.einsum("...nc,...nd->...cd", x, x)
     if gram.ndim == 2:
         return _erank_from_gram(gram)

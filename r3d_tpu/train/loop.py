@@ -27,12 +27,22 @@ from r3d_tpu.losses import (
     cross_entropy_loss,
     duration_loss,
     focal_loss,
+    temporal_cluster_loss,
     weighted_cross_entropy_loss,
 )
 from r3d_tpu.models import build_model, is_fusion_model
 from r3d_tpu.ops import effective_rank_loss
 from r3d_tpu.train.optim import make_optimizer
 from r3d_tpu.train.state import TrainState, create_train_state
+
+
+def triangular_warmup(epoch, start: int, peak: int, end: int):
+    """train_unsupervised.get_warmup_factor:10-32: 0 -> 1 over [start,peak],
+    1 -> 0 over [peak,end], 0 outside."""
+    e = jnp.asarray(epoch, jnp.float32)
+    up = (e - start) / max(peak - start, 1)
+    down = 1.0 - (e - peak) / max(end - peak, 1)
+    return jnp.clip(jnp.where(e < peak, up, down), 0.0, 1.0)
 
 
 def last_non_padding_labels(past_label: jnp.ndarray, pad_idx: int) -> jnp.ndarray:
@@ -57,6 +67,7 @@ class Trainer:
         self.pad_idx = n_class + 1  # main_utkinects.py:109
         self.model = build_model(config.model, n_class)
         self.is_fusion = is_fusion_model(config.model.model)
+        self.needs_query = config.model.model in ("futr_unsupervised", "futr_proposed")
         self.mesh = mesh
         self.tx = None
         self._train_step = None
@@ -75,10 +86,12 @@ class Trainer:
         )
         if self.is_fusion:
             return (batch["features"], batch["depth_features"], mask)
+        if self.needs_query:
+            return (batch["features"], batch.get("query_label"), mask)
         return (batch["features"], mask)
 
     # ------------------------------------------------------------- loss logic
-    def _losses(self, outputs, batch, train: bool):
+    def _losses(self, outputs, batch, epoch=0, train: bool = True):
         cfg = self.config
         pad = self.pad_idx
         excl = cfg.train.exclude_class_idx
@@ -86,37 +99,88 @@ class Trainer:
         target = batch["trans_future_target"]
         dur = batch["trans_future_dur"]
         dur_mask = (dur != pad).astype(jnp.float32)
+        unsup = cfg.train.loop == "unsupervised"
 
         total = jnp.zeros((), jnp.float32)
         metrics: Dict[str, jnp.ndarray] = {}
 
+        loss_seg = jnp.zeros((), jnp.float32)
+        seg_correct_mask = None
         if cfg.model.seg and "seg" in outputs:
             seg = outputs["seg"]
             seg_flat = seg.reshape(-1, seg.shape[-1])
             gold = past_label.reshape(-1)
-            loss_seg, _ = cross_entropy_loss(seg_flat, gold, pad, excl)
-            nc, nw = accuracy_counts(seg_flat, gold, pad, excl)
-            total = total + loss_seg
+            # the unsupervised loop's seg CE has no exclude class
+            # (train_unsupervised.py:327)
+            seg_excl = None if unsup else excl
+            loss_seg, seg_correct_mask = cross_entropy_loss(seg_flat, gold, pad, seg_excl)
+            nc, nw = accuracy_counts(seg_flat, gold, pad, seg_excl)
+            if not unsup:
+                total = total + loss_seg
             metrics.update(loss_seg=loss_seg, seg_correct=nc, seg_total=nw)
 
+        loss_cls = jnp.zeros((), jnp.float32)
+        loss_dur = jnp.zeros((), jnp.float32)
         if cfg.model.anticipate:
             act = outputs["action"]
             act_flat = act.reshape(-1, act.shape[-1])
             gold_t = target.reshape(-1)
-            if cfg.train.weighted_ce:
+            # unsupervised uses weighted CE without an exclude class
+            # (train_unsupervised.py:340)
+            cls_excl = None if unsup else excl
+            if cfg.train.weighted_ce or unsup:
                 reference = last_non_padding_labels(past_label, pad)
                 loss_cls, _ = weighted_cross_entropy_loss(
-                    act_flat, gold_t, pad, reference, target[:, 0], excl
+                    act_flat, gold_t, pad, reference, target[:, 0], cls_excl
                 )
             else:
-                loss_cls, _ = cross_entropy_loss(act_flat, gold_t, pad, excl)
-            nc, nw = accuracy_counts(act_flat, gold_t, pad, excl)
-            total = total + loss_cls
+                loss_cls, _ = cross_entropy_loss(act_flat, gold_t, pad, cls_excl)
+            nc, nw = accuracy_counts(act_flat, gold_t, pad, cls_excl)
+            if not unsup:
+                total = total + loss_cls
             metrics.update(loss_cls=loss_cls, cls_correct=nc, cls_total=nw)
 
             loss_dur = duration_loss(outputs["duration"], dur * dur_mask, dur_mask)
-            total = total + loss_dur
+            if not unsup:
+                total = total + loss_dur
             metrics.update(loss_dur=loss_dur)
+
+        if unsup and "l3" in outputs:
+            # curriculum composite (train_unsupervised.py:294-362)
+            tr = cfg.train
+            l3 = outputs["l3"]
+            l3_flat = l3.reshape(-1, l3.shape[-1])
+            q_flat = batch["query_label"].reshape(-1)
+            loss_l3, l3_correct = focal_loss(
+                l3_flat, q_flat, tr.l3_pad_idx, tr.l3_exclude_idx
+            )
+            l3_nc, l3_nw = accuracy_counts(
+                l3_flat, q_flat, tr.l3_pad_idx, tr.l3_exclude_idx
+            )
+            if train:
+                loss_supcon = temporal_cluster_loss(
+                    l3, batch["seg_ids"], tr.max_segments
+                )
+                # correctness gate: 1.0 where both l3 and seg are right,
+                # else 5.0 (train_unsupervised.py:357)
+                both = l3_correct & (
+                    seg_correct_mask
+                    if seg_correct_mask is not None
+                    else jnp.zeros_like(l3_correct)
+                )
+                how_much_wrong = jnp.where(both, 1.0, 5.0)
+                wbar = jnp.mean(how_much_wrong)
+                start, (peak, end) = 0, tr.warmup_loss_epochs
+                wf = triangular_warmup(epoch, start, peak, end)
+                total = (1.0 - 1.0 / wbar) * (
+                    (1.0 - wf) * loss_l3 + wf * loss_supcon
+                ) + (1.0 / wbar) * (loss_cls + loss_dur + loss_seg)
+                metrics.update(loss_supcon=loss_supcon)
+            else:
+                # reference validate sums l3 + seg + cls, no duration/supcon
+                # (train_unsupervised.py:147-198)
+                total = loss_l3 + loss_seg + loss_cls
+            metrics.update(loss_l3=loss_l3, l3_correct=l3_nc, l3_total=l3_nw)
 
         if cfg.model.erank_weight > 0.0 and "fused" in outputs:
             valid = (past_label != pad).astype(jnp.float32)
@@ -136,20 +200,21 @@ class Trainer:
         has_bn = True  # harmless when batch_stats is empty
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, batch, rng):
+        def train_step(state: TrainState, batch, rng, epoch):
             def loss_fn(params):
                 variables = {"params": params, "batch_stats": state.batch_stats}
                 mask = batch["past_label"] == self.pad_idx
-                args = (
-                    (batch["features"], batch["depth_features"], mask)
-                    if is_fusion
-                    else (batch["features"], mask)
-                )
+                if is_fusion:
+                    args = (batch["features"], batch["depth_features"], mask)
+                elif self.needs_query:
+                    args = (batch["features"], batch.get("query_label"), mask)
+                else:
+                    args = (batch["features"], mask)
                 outputs, mutated = model.apply(
                     variables, *args, train=True,
                     rngs={"dropout": rng}, mutable=["batch_stats"],
                 )
-                total, metrics = self._losses(outputs, batch, train=True)
+                total, metrics = self._losses(outputs, batch, epoch, train=True)
                 return total, (metrics, mutated.get("batch_stats", {}))
 
             (loss, (metrics, new_bs)), grads = jax.value_and_grad(
@@ -169,11 +234,12 @@ class Trainer:
             # reference validate runs the test-mode forward: no pad masks, BN
             # running stats, no dropout (train_proposed_depth.py:52-108;
             # see COMPAT.md on the reference's tuple-input crash there)
-            args = (
-                (batch["features"], batch["depth_features"], None)
-                if is_fusion
-                else (batch["features"], None)
-            )
+            if is_fusion:
+                args = (batch["features"], batch["depth_features"], None)
+            elif self.needs_query:
+                args = (batch["features"], batch.get("query_label"), None)
+            else:
+                args = (batch["features"], None)
             outputs = model.apply(variables, *args, train=False)
             _, metrics = self._losses(outputs, batch, train=False)
             return metrics
@@ -205,8 +271,15 @@ class Trainer:
             for batch in train_loader:
                 if batch["features"].shape[0] < cfg.min_train_batch:
                     continue  # BN guard (train_proposed_depth.py:148)
+                if self.config.train.loop == "unsupervised":
+                    from r3d_tpu.losses.temporal import segment_ids_from_labels
+
+                    batch = dict(batch)
+                    batch["seg_ids"] = segment_ids_from_labels(
+                        batch["query_label"], None, self.config.train.max_segments
+                    )
                 rng, step_rng = jax.random.split(rng)
-                state, metrics = train_step(state, batch, step_rng)
+                state, metrics = train_step(state, batch, step_rng, epoch)
                 n_batches += 1
                 n_clips += batch["features"].shape[0]
                 for k, v in metrics.items():
