@@ -1,0 +1,186 @@
+"""Data-prep CLI tools (reference L0 one-shot scripts).
+
+Re-implements the observable outputs of:
+- data/nturgbd-creategt.py:20-48 — per-video gt txt from class-coded folder
+  names;
+- data/nturgbd-createsplits.py:4-35 — random 60/25/15 train/val/test splits;
+- data/utkinect-actionlabeltogt.py:12-35 — action-interval label files ->
+  per-frame gt;
+- data/avi2png.py:34-46 — video -> frame PNGs aligned to a target frame
+  count (cv2-gated);
+- data/darai-clip.py / data/basedataset_darai_gaze.py:169-186 — CLIP image
+  features (transformers-gated) and gaze CSV -> normalized (x, y).
+
+Run as ``python -m r3d_tpu.data.preprocess.tools <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def create_gt_from_class_dirs(
+    frames_root: str, out_dir: str, class_of_video
+) -> List[str]:
+    """One gt txt per video directory: every frame gets the video's class
+    (nturgbd-creategt.py semantics: label derived from the folder/file name)."""
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for vid in sorted(os.listdir(frames_root)):
+        vdir = os.path.join(frames_root, vid)
+        if not os.path.isdir(vdir):
+            continue
+        n_frames = len([f for f in os.listdir(vdir) if not f.startswith(".")])
+        label = class_of_video(vid)
+        path = os.path.join(out_dir, vid + ".txt")
+        with open(path, "w") as f:
+            f.write("".join(f"{label}\n" for _ in range(n_frames)))
+        written.append(path)
+    return written
+
+
+def create_splits(
+    video_names: Sequence[str], out_dir: str,
+    fractions: Tuple[float, float, float] = (0.6, 0.25, 0.15), seed: int = 0,
+) -> Dict[str, List[str]]:
+    """Random train/val/test split files (nturgbd-createsplits.py:4-35)."""
+    rng = np.random.RandomState(seed)
+    names = list(video_names)
+    rng.shuffle(names)
+    n = len(names)
+    n_train = int(fractions[0] * n)
+    n_val = int(fractions[1] * n)
+    splits = {
+        "train_split.txt": names[:n_train],
+        "val_split.txt": names[n_train : n_train + n_val],
+        "test_split.txt": names[n_train + n_val :],
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    for fname, vids in splits.items():
+        with open(os.path.join(out_dir, fname), "w") as f:
+            f.write("".join(v + "\n" for v in vids))
+    return splits
+
+
+def action_intervals_to_gt(
+    intervals: Sequence[Tuple[str, int, int]], n_frames: int,
+    background: str = "UNDEFINED",
+) -> List[str]:
+    """(action, start, end) intervals -> per-frame labels
+    (utkinect-actionlabeltogt.py:12-35). End is inclusive."""
+    labels = [background] * n_frames
+    for action, start, end in intervals:
+        for t in range(max(start, 0), min(end + 1, n_frames)):
+            labels[t] = action
+    return labels
+
+
+def video_to_frames(
+    video_path: str, out_dir: str, target_count: Optional[int] = None
+) -> int:
+    """Extract frames from a video file (avi2png.py:34-46), optionally
+    subsampled/clipped to align with a depth-frame count. Needs cv2."""
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover - env gated
+        raise RuntimeError("video_to_frames requires opencv (cv2)") from e
+    os.makedirs(out_dir, exist_ok=True)
+    cap = cv2.VideoCapture(video_path)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame)
+    cap.release()
+    if target_count is not None and len(frames) > target_count:
+        idx = np.linspace(0, len(frames) - 1, target_count).astype(int)
+        frames = [frames[i] for i in idx]
+    for i, frame in enumerate(frames):
+        cv2.imwrite(os.path.join(out_dir, f"frame{i:05d}.png"), frame)
+    return len(frames)
+
+
+def gaze_csv_to_query(csv_path: str, n_frames: int) -> np.ndarray:
+    """Gaze CSV -> [n_frames, 2] normalized (x, y)
+    (basedataset_darai_gaze.py:169-186): columns include x/y pixel positions;
+    normalized by their max; missing rows padded with the last value."""
+    import csv
+
+    xs: List[float] = []
+    ys: List[float] = []
+    with open(csv_path) as f:
+        reader = csv.DictReader(f)
+        fx = [c for c in reader.fieldnames or [] if "x" in c.lower()]
+        fy = [c for c in reader.fieldnames or [] if "y" in c.lower()]
+        if not fx or not fy:
+            raise ValueError(f"no gaze x/y columns in {csv_path}")
+        for row in reader:
+            try:
+                xs.append(float(row[fx[0]]))
+                ys.append(float(row[fy[0]]))
+            except (ValueError, TypeError):
+                continue
+    if not xs:
+        return np.zeros((n_frames, 2), np.float32)
+    x = np.array(xs, np.float32)
+    y = np.array(ys, np.float32)
+    x /= max(float(x.max()), 1e-6)
+    y /= max(float(y.max()), 1e-6)
+    g = np.stack([x, y], axis=1)
+    if len(g) >= n_frames:
+        return g[:n_frames]
+    pad = np.repeat(g[-1:], n_frames - len(g), axis=0)
+    return np.concatenate([g, pad], axis=0)
+
+
+def extract_clip_features(image_paths: Sequence[str]) -> np.ndarray:
+    """CLIP ViT-B/32 image features (darai-clip.py:12-40). Needs transformers
+    with locally cached weights (no egress in this environment)."""
+    try:  # pragma: no cover - env gated
+        from transformers import CLIPModel, CLIPProcessor
+        from PIL import Image
+    except ImportError as e:
+        raise RuntimeError("extract_clip_features requires transformers+PIL") from e
+    model = CLIPModel.from_pretrained("openai/clip-vit-base-patch32")
+    processor = CLIPProcessor.from_pretrained("openai/clip-vit-base-patch32")
+    feats = []
+    for p in image_paths:
+        inputs = processor(images=Image.open(p), return_tensors="pt")
+        feats.append(model.get_image_features(**inputs).detach().numpy()[0])
+    return np.stack(feats)
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    p = argparse.ArgumentParser(prog="r3d-preprocess")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("splits", help="create train/val/test split files")
+    sp.add_argument("--videos", required=True, help="dir or file listing videos")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--seed", type=int, default=0)
+
+    fp = sub.add_parser("frames", help="video -> frame PNGs")
+    fp.add_argument("--video", required=True)
+    fp.add_argument("--out", required=True)
+    fp.add_argument("--count", type=int, default=None)
+
+    args = p.parse_args(argv)
+    if args.cmd == "splits":
+        if os.path.isdir(args.videos):
+            names = sorted(os.listdir(args.videos))
+        else:
+            names = [l.strip() for l in open(args.videos) if l.strip()]
+        create_splits(names, args.out, seed=args.seed)
+    elif args.cmd == "frames":
+        n = video_to_frames(args.video, args.out, args.count)
+        print(f"wrote {n} frames")
+
+
+if __name__ == "__main__":
+    main()

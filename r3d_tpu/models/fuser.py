@@ -87,9 +87,21 @@ def bottomk_mask(scores: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.zeros((C,), dtype=bool).at[idx].set(True)
 
 
+def _layernorm(x, scale, bias, dtype, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(dtype)
+
+
 class FuserBlock(nn.Module):
     """Pre-norm timm Block (transformerblock.py:118-135): masked multi-head
-    self-attention + GELU MLP, both residual."""
+    self-attention + GELU MLP, both residual.
+
+    Params are owned flat (setup, not submodules) so the fused Pallas path in
+    ``_SAFuserCore`` can consume them directly alongside this composed path.
+    """
 
     dim: int
     n_head: int
@@ -97,9 +109,29 @@ class FuserBlock(nn.Module):
     qkv_bias: bool = False
     two_token_exact: bool = True
     drop_rate: float = 0.1
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        C = self.dim
+        Ch = int(C * self.mlp_ratio)
+        zeros = nn.initializers.zeros
+        ones = nn.initializers.ones
+        self.norm1_scale = self.param("norm1_scale", ones, (C,))
+        self.norm1_bias = self.param("norm1_bias", zeros, (C,))
+        self.qkv_kernel = self.param("qkv_kernel", xavier, (C, 3 * C))
+        self.qkv_b = (
+            self.param("qkv_bias", zeros, (3 * C,)) if self.qkv_bias else None
+        )
+        self.proj_kernel = self.param("proj_kernel", xavier, (C, C))
+        self.proj_bias = self.param("proj_bias", zeros, (C,))
+        self.norm2_scale = self.param("norm2_scale", ones, (C,))
+        self.norm2_bias = self.param("norm2_bias", zeros, (C,))
+        self.mlp1_kernel = self.param("mlp1_kernel", xavier, (C, Ch))
+        self.mlp1_bias = self.param("mlp1_bias", zeros, (Ch,))
+        self.mlp2_kernel = self.param("mlp2_kernel", xavier, (Ch, C))
+        self.mlp2_bias = self.param("mlp2_bias", zeros, (C,))
+
     def __call__(
         self,
         x: jnp.ndarray,                 # [B, N, C]
@@ -107,18 +139,10 @@ class FuserBlock(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         C, H = self.dim, self.n_head
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        # qkv params owned directly so the exact path can slice out W_v and
-        # skip 2/3 of the projection FLOPs (packed layout kept for checkpoints)
-        qkv_kernel = self.param("qkv_kernel", xavier, (C, 3 * C))
-        qkv_b = (
-            self.param("qkv_bias", nn.initializers.zeros, (3 * C,))
-            if self.qkv_bias
-            else None
-        )
-        proj = nn.Dense(C, kernel_init=xavier, dtype=self.dtype, name="proj")
+        dt = self.dtype
+        h = _layernorm(x, self.norm1_scale, self.norm1_bias, dt)
 
-        def apply_qkv(y, kernel, b):
+        def apply(y, kernel, b):
             out = y @ kernel.astype(y.dtype)
             return out if b is None else out + b.astype(y.dtype)
 
@@ -127,12 +151,13 @@ class FuserBlock(nn.Module):
             # exact closed form: softmax over {-inf self, finite other} is
             # one-hot(other) -> attention output is the value of the OTHER
             # token. Only the V third of the qkv projection is needed.
-            v = apply_qkv(
-                h, qkv_kernel[:, 2 * C :], None if qkv_b is None else qkv_b[2 * C :]
+            v = apply(
+                h, self.qkv_kernel[:, 2 * C :],
+                None if self.qkv_b is None else self.qkv_b[2 * C :],
             )
-            attn_out = proj(v[:, ::-1, :])           # swap the two tokens
+            attn_out = apply(v[:, ::-1, :], self.proj_kernel, self.proj_bias)
         else:
-            qkv = apply_qkv(h, qkv_kernel, qkv_b).reshape(
+            qkv = apply(h, self.qkv_kernel, self.qkv_b).reshape(
                 x.shape[0], N, 3, H, C // H
             )
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -143,18 +168,16 @@ class FuserBlock(nn.Module):
                 scores = scores + jnp.where(
                     jnp.eye(N, dtype=bool), neg, 0.0
                 ).astype(scores.dtype)
-            w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
-            attn_out = proj(
-                jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(x.shape[0], N, C)
+            w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dt)
+            attn_out = apply(
+                jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(x.shape[0], N, C),
+                self.proj_kernel, self.proj_bias,
             )
         x = x + attn_out
 
-        h2 = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        m = nn.Dense(int(C * self.mlp_ratio), kernel_init=xavier,
-                     dtype=self.dtype, name="mlp1")(h2)
-        m = nn.gelu(m, approximate=False)
-        m = nn.Dense(C, kernel_init=xavier, dtype=self.dtype, name="mlp2")(m)
-        return x + m
+        h2 = _layernorm(x, self.norm2_scale, self.norm2_bias, dt)
+        m = nn.gelu(apply(h2, self.mlp1_kernel, self.mlp1_bias), approximate=False)
+        return x + apply(m, self.mlp2_kernel, self.mlp2_bias)
 
 
 class _SAFuserCore(nn.Module):
@@ -168,6 +191,7 @@ class _SAFuserCore(nn.Module):
     outer_residual: bool
     two_token_exact: bool = True
     drop_rate: float = 0.1
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -175,15 +199,51 @@ class _SAFuserCore(nn.Module):
         B, T, M, C = stacked.shape
         x = stacked.reshape(B * T, M, C)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+        block0 = FuserBlock(
+            self.dim, self.n_head, two_token_exact=self.two_token_exact,
+            dtype=self.dtype, name="block0",
+        )
+        norm_scale = self.param("norm_scale", nn.initializers.ones, (C,))
+        norm_bias = self.param("norm_bias", nn.initializers.zeros, (C,))
+
+        from r3d_tpu.ops.fuser_kernel import pallas_enabled
+
+        if (
+            self.use_pallas
+            and self.depth == 1
+            and self.two_token_exact
+            and M == 2
+            and not block0.qkv_bias
+            and pallas_enabled()
+        ):
+            # fused Pallas tail: the whole block + LN + modality mean in one
+            # kernel pass (r3d_tpu/ops/fuser_kernel.py)
+            from r3d_tpu.ops.fuser_kernel import FuserTailParams, fused_safuser_tail
+            wvp = block0.qkv_kernel[:, 2 * C :] @ block0.proj_kernel
+            params = FuserTailParams(
+                norm1_scale=block0.norm1_scale, norm1_bias=block0.norm1_bias,
+                wvp=wvp, proj_bias=block0.proj_bias,
+                norm2_scale=block0.norm2_scale, norm2_bias=block0.norm2_bias,
+                mlp1_kernel=block0.mlp1_kernel, mlp1_bias=block0.mlp1_bias,
+                mlp2_kernel=block0.mlp2_kernel, mlp2_bias=block0.mlp2_bias,
+                norm_out_scale=norm_scale, norm_out_bias=norm_bias,
+            )
+            r = x[:, 0, :]
+            d = x[:, 1, :]
+            fused = fused_safuser_tail(r, d, params, self.outer_residual)
+            return fused.astype(self.dtype).reshape(B, T, C)
+
         x_res = x
-        for i in range(self.depth):
+        x = block0(x, diag_neg_inf_mask=True, deterministic=deterministic)
+        for i in range(1, self.depth):
             x = FuserBlock(
                 self.dim, self.n_head, two_token_exact=self.two_token_exact,
                 dtype=self.dtype, name=f"block{i}",
             )(x, diag_neg_inf_mask=True, deterministic=deterministic)
         if self.outer_residual:
             x = x + x_res
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = _layernorm(x, norm_scale, norm_bias, self.dtype)
         return jnp.mean(x, axis=1).reshape(B, T, C)
 
 
@@ -198,6 +258,7 @@ class CMFuserBN(nn.Module):
     exchange_frac: float = 0.1
     two_token_exact: bool = True
     drop_rate: float = 0.1
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -225,7 +286,7 @@ class CMFuserBN(nn.Module):
         return _SAFuserCore(
             self.dim, self.depth, self.n_head, outer_residual=False,
             two_token_exact=self.two_token_exact, drop_rate=self.drop_rate,
-            dtype=self.dtype, name="safuser",
+            use_pallas=self.use_pallas, dtype=self.dtype, name="safuser",
         )(stacked, deterministic=not train)
 
 
@@ -241,6 +302,7 @@ class CMFuserGrad(nn.Module):
     n_head: int = 8
     two_token_exact: bool = True
     drop_rate: float = 0.1
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -269,7 +331,7 @@ class CMFuserGrad(nn.Module):
         return _SAFuserCore(
             self.dim, self.depth, self.n_head, outer_residual=True,
             two_token_exact=self.two_token_exact, drop_rate=self.drop_rate,
-            dtype=self.dtype, name="safuser",
+            use_pallas=self.use_pallas, dtype=self.dtype, name="safuser",
         )(stacked, deterministic=not train)
 
 
@@ -283,6 +345,7 @@ class CMFuserVary(nn.Module):
     n_head: int = 8
     two_token_exact: bool = True
     drop_rate: float = 0.1
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -305,7 +368,7 @@ class CMFuserVary(nn.Module):
         return _SAFuserCore(
             self.dim, self.depth, self.n_head, outer_residual=True,
             two_token_exact=self.two_token_exact, drop_rate=self.drop_rate,
-            dtype=self.dtype, name="safuser",
+            use_pallas=self.use_pallas, dtype=self.dtype, name="safuser",
         )(stacked, deterministic=not train)
 
 
@@ -320,6 +383,7 @@ class CMFuserNoExchange(nn.Module):
     use_modality_token: bool = True
     two_token_exact: bool = True
     drop_rate: float = 0.1
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -335,5 +399,5 @@ class CMFuserNoExchange(nn.Module):
         return _SAFuserCore(
             self.dim, self.depth, self.n_head, outer_residual=False,
             two_token_exact=self.two_token_exact, drop_rate=self.drop_rate,
-            dtype=self.dtype, name="safuser",
+            use_pallas=self.use_pallas, dtype=self.dtype, name="safuser",
         )(stacked, deterministic=not train)

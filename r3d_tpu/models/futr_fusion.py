@@ -48,7 +48,7 @@ class DepthEmbed(nn.Module):
             self.cfg.hidden_dim, kernel_init=xavier, dtype=_dtype(self.cfg),
             name="depth_projection",
         )(flat)
-        h = nn.LayerNorm(dtype=_dtype(self.cfg), name="depth_layernorm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=_dtype(self.cfg), name="depth_layernorm")(h)
         return nn.relu(h)
 
 

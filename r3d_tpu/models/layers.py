@@ -120,12 +120,12 @@ class EncoderLayer(nn.Module):
             self.dim, self.n_head, self.dropout, dtype=self.dtype, name="self_attn"
         )(qkv, qkv, qkv, key_padding_mask, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
         ffn = FeedForward(
             self.dim, self.ffn_dim, self.dropout, dtype=self.dtype, name="ffn"
         )(src, deterministic)
         src = src + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
 
 
 class DecoderLayer(nn.Module):
@@ -153,7 +153,7 @@ class DecoderLayer(nn.Module):
             self.dim, self.n_head, self.dropout, dtype=self.dtype, name="self_attn"
         )(q, q, q, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
 
         mem = memory if pos is None else memory + pos
         ca = MultiheadAttention(
@@ -166,13 +166,13 @@ class DecoderLayer(nn.Module):
             deterministic=deterministic,
         )
         tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
 
         ffn = FeedForward(
             self.dim, self.ffn_dim, self.dropout, dtype=self.dtype, name="ffn"
         )(tgt, deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
 
 
 def sinusoidal_positional_encoding(seq_len: int, dim: int) -> jnp.ndarray:

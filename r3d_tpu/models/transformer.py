@@ -60,7 +60,7 @@ class TransformerDecoder(nn.Module):
                 self.dim, self.n_head, self.ffn_dim, self.dropout,
                 dtype=self.dtype, name=f"layer{i}",
             )(out, memory, pos, query_pos, memory_key_padding_mask, deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
 
 
 class FUTRTransformer(nn.Module):

@@ -25,12 +25,18 @@ tests/test_fuser_kernel.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def pallas_enabled() -> bool:
+    """Kernel path gate: real TPU, or forced (interpret mode) for tests."""
+    return jax.default_backend() == "tpu" or os.environ.get("R3D_FORCE_PALLAS") == "1"
 
 
 class FuserTailParams(NamedTuple):
@@ -48,7 +54,21 @@ class FuserTailParams(NamedTuple):
     norm_out_bias: jnp.ndarray
 
 
-def _ln(x, scale, bias, eps=1e-6):
+def _erf_approx(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7) — Mosaic in this
+    image lowers neither erf nor erfc, so exact-GELU needs its own erf."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _ln(x, scale, bias, eps=1e-5):
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
@@ -107,7 +127,9 @@ def _kernel(r_ref, d_ref, n1s, n1b, wvp, pb, n2s, n2b, w1, b1, w2, b2, nos, nob,
     def mlp(x):
         h = ln(x, n2s, n2b)
         m = jnp.dot(h, w1_, preferred_element_type=jnp.float32).astype(dt) + b1_
-        m = jax.nn.gelu(m.astype(jnp.float32), approximate=False).astype(dt)
+        # exact erf-form GELU (jax.nn.gelu's erfc path doesn't lower in Mosaic)
+        m32 = m.astype(jnp.float32)
+        m = (0.5 * m32 * (1.0 + _erf_approx(m32 * 0.7071067811865476))).astype(dt)
         return jnp.dot(m, w2_, preferred_element_type=jnp.float32).astype(dt) + b2_
 
     x_r = x_r + mlp(x_r)
@@ -157,6 +179,7 @@ def _pallas_forward(r, d, params: FuserTailParams, outer_residual: bool,
             bytes_accessed=3 * Np * C * r.dtype.itemsize,
             transcendentals=2 * Np * Ch,
         ),
+        interpret=jax.default_backend() != "tpu",
     )(
         r, d,
         row2(params.norm1_scale), row2(params.norm1_bias),

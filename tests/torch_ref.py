@@ -142,14 +142,20 @@ def futr_params(t_model, use_encoder=False):
 
 
 def fuser_block_params(t_block):
-    p = {}
-    layernorm(p, "norm1", t_block.norm1)
-    p["qkv_kernel"] = t2n(t_block.attn.qkv.weight).T
-    linear(p, "proj", t_block.attn.proj)
-    layernorm(p, "norm2", t_block.norm2)
-    linear(p, "mlp1", t_block.mlp.mlp[0])
-    linear(p, "mlp2", t_block.mlp.mlp[2])
-    return p
+    """timm Block -> flat FuserBlock param dict."""
+    return {
+        "norm1_scale": t2n(t_block.norm1.weight),
+        "norm1_bias": t2n(t_block.norm1.bias),
+        "qkv_kernel": t2n(t_block.attn.qkv.weight).T,
+        "proj_kernel": t2n(t_block.attn.proj.weight).T,
+        "proj_bias": t2n(t_block.attn.proj.bias),
+        "norm2_scale": t2n(t_block.norm2.weight),
+        "norm2_bias": t2n(t_block.norm2.bias),
+        "mlp1_kernel": t2n(t_block.mlp.mlp[0].weight).T,
+        "mlp1_bias": t2n(t_block.mlp.mlp[0].bias),
+        "mlp2_kernel": t2n(t_block.mlp.mlp[2].weight).T,
+        "mlp2_bias": t2n(t_block.mlp.mlp[2].bias),
+    }
 
 
 def fusion_params(t_model, use_encoder=False):
@@ -169,7 +175,8 @@ def fusion_params(t_model, use_encoder=False):
     safuser = {}
     for i, blk in enumerate(t_model.fuser.blocks):
         safuser[f"block{i}"] = fuser_block_params(blk)
-    layernorm(safuser, "norm", t_model.fuser.norm)
+    safuser["norm_scale"] = t2n(t_model.fuser.norm.weight)
+    safuser["norm_bias"] = t2n(t_model.fuser.norm.bias)
     fuser["safuser"] = safuser
     p["fuser"] = fuser
 
