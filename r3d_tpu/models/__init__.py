@@ -25,10 +25,18 @@ def build_model(cfg: ModelConfig, n_class: int) -> Any:
         return FUTR(cfg, n_class)
     if cfg.model in _FUSION_MODELS:
         return FUTRFusion(cfg, n_class)
-    if cfg.model == "futr_unsupervised":
+    if cfg.model in (
+        "futr_unsupervised", "futr_proposed", "futr_gaze", "futr_unsupervised_depth"
+    ):
         from r3d_tpu.models.futr_unsupervised import FUTRUnsupervised
 
-        return FUTRUnsupervised(cfg, n_class)
+        source = {
+            "futr_unsupervised": "self_attention",
+            "futr_proposed": "gt",
+            "futr_gaze": "gaze",
+            "futr_unsupervised_depth": "depth",
+        }[cfg.model]
+        return FUTRUnsupervised(cfg, n_class, query_source=source)
     if cfg.model == "rnn":
         from r3d_tpu.models.baselines import RNNAnticipator
 

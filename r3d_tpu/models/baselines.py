@@ -31,27 +31,16 @@ class LSTMStack(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        B = x.shape[0]
         h = self.hidden // 2
         for layer in range(self.num_layers):
-            outs = []
-            for direction in (0, 1):
-                cell = nn.OptimizedLSTMCell(h, name=f"l{layer}_d{direction}")
-                carry = cell.initialize_carry(
-                    jax.random.PRNGKey(0), (B, x.shape[-1])
-                )
-                inp = x if direction == 0 else x[:, ::-1]
-                # scan over time
-                def step(carry, xt):
-                    carry, out = cell(carry, xt)
-                    return carry, out
-
-                _, seq = jax.lax.scan(
-                    step, carry, jnp.swapaxes(inp, 0, 1)
-                )
-                seq = jnp.swapaxes(seq, 0, 1)
-                outs.append(seq if direction == 0 else seq[:, ::-1])
-            x = jnp.concatenate(outs, axis=-1)
+            fwd = nn.RNN(
+                nn.OptimizedLSTMCell(h), name=f"l{layer}_fwd"
+            )(x)
+            bwd = nn.RNN(
+                nn.OptimizedLSTMCell(h), reverse=True, keep_order=True,
+                name=f"l{layer}_bwd",
+            )(x)
+            x = jnp.concatenate([fwd, bwd], axis=-1)
         return x
 
 

@@ -38,10 +38,35 @@ from r3d_tpu.models.layers import (
 from r3d_tpu.models.transformer import FUTRTransformer
 
 
+class GazeCNN(nn.Module):
+    """Gaze (x, y) series -> query embeddings
+    (futr_unsupervised_multimodal.py GazeCNN): three 3x3 convs over the
+    [B, S, 1, 2] signal, then adaptive pooling. The reference pools the
+    width-1 axis UP to ``output_steps`` (AdaptiveAvgPool2d((1, 8)) on a
+    [B, C, S, 1] map), which replicates the temporal mean — i.e. the 8 query
+    slots are identical before PE; reproduced faithfully."""
+
+    hidden_dim: int
+    output_steps: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, gaze: jnp.ndarray) -> jnp.ndarray:  # [B, S, 2]
+        x = gaze.astype(self.dtype)[:, :, None, :]  # NHWC: [B, S, 1, 2]
+        for i, ch in enumerate((32, 64, self.hidden_dim)):
+            x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype, name=f"conv{i + 1}")(x)
+            x = nn.relu(x)
+        pooled = jnp.mean(x, axis=(1, 2))  # [B, C] (mean over S and the w=1 axis)
+        return jnp.repeat(pooled[:, None, :], self.output_steps, axis=1)
+
+
 class FUTRUnsupervised(nn.Module):
     cfg: ModelConfig
     n_class: int
-    query_source: str = "self_attention"  # self_attention | gt
+    # self_attention (futr_unsupervised.py) | gt (futr_proposed.py) |
+    # gaze (futr_unsupervised_multimodal.py) | depth (futr_unsupervised_depth.py)
+    query_source: str = "self_attention"
     attend_over_batch: bool = True        # reference layout quirk (see module doc)
 
     @nn.compact
@@ -81,6 +106,26 @@ class FUTRUnsupervised(nn.Module):
                 dtype=dt, name="query_embed",
             )(query.astype(jnp.int32))
             action_query = q_emb + pe[None].astype(q_emb.dtype)
+        elif self.query_source == "gaze":
+            # futr_unsupervised_multimodal.py: GazeCNN queries + L2-normalized
+            # sinusoidal PE over the first n_query positions
+            assert query is not None, "gaze mode needs the [B, S, 2] gaze signal"
+            q = GazeCNN(cfg.hidden_dim, cfg.n_query, dtype=dt, name="gaze_cnn")(
+                query.astype(dt)
+            )
+            pe_q = pe[: cfg.n_query]
+            pe_q = pe_q / jnp.maximum(
+                jnp.linalg.norm(pe_q, axis=-1, keepdims=True), 1e-12
+            )
+            action_query = q + pe_q[None].astype(q.dtype)
+        elif self.query_source == "depth":
+            # futr_unsupervised_depth.py: queries = sinusoidal-PE'd projected
+            # depth frames (depth_projection + LN + ReLU, then pos_enc)
+            assert query is not None, "depth mode needs the raw depth stream"
+            from r3d_tpu.models.futr_fusion import DepthEmbed
+
+            q = DepthEmbed(cfg, name="depth_embed")(query)
+            action_query = q + pe[None].astype(q.dtype)
         else:
             attn = MultiheadAttention(
                 cfg.hidden_dim, cfg.n_head, dropout=0.0, dtype=dt,

@@ -67,7 +67,10 @@ class Trainer:
         self.pad_idx = n_class + 1  # main_utkinects.py:109
         self.model = build_model(config.model, n_class)
         self.is_fusion = is_fusion_model(config.model.model)
-        self.needs_query = config.model.model in ("futr_unsupervised", "futr_proposed")
+        self.needs_query = config.model.model in (
+            "futr_unsupervised", "futr_proposed", "futr_gaze",
+            "futr_unsupervised_depth",
+        )
         self.mesh = mesh
         self.tx = None
         self._train_step = None
@@ -140,10 +143,13 @@ class Trainer:
                 total = total + loss_cls
             metrics.update(loss_cls=loss_cls, cls_correct=nc, cls_total=nw)
 
-            loss_dur = duration_loss(outputs["duration"], dur * dur_mask, dur_mask)
-            if not unsup:
-                total = total + loss_dur
-            metrics.update(loss_dur=loss_dur)
+            if "duration" in outputs:  # the TCN baseline has no duration head
+                loss_dur = duration_loss(
+                    outputs["duration"], dur * dur_mask, dur_mask
+                )
+                if not unsup:
+                    total = total + loss_dur
+                metrics.update(loss_dur=loss_dur)
 
         if unsup and "l3" in outputs:
             # curriculum composite (train_unsupervised.py:294-362)
