@@ -63,8 +63,16 @@ def train(config: Config, seed: int, dataset_ops: str = "",
     state = trainer.init_state(
         jax.random.PRNGKey(seed), example, steps_per_epoch=max(len(train_loader), 1)
     )
-    ckpt = Checkpointer(save_path(config, dataset_ops))
-    state = trainer.fit(state, train_loader, val_loader, seed, checkpointer=ckpt, log=log)
+    path = save_path(config, dataset_ops)
+    ckpt = Checkpointer(path)
+    from r3d_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(path, run_name=f"seed_{seed}_metrics")
+    state = trainer.fit(
+        state, train_loader, val_loader, seed, checkpointer=ckpt, log=log,
+        metrics_logger=metrics,
+    )
+    metrics.close()
     return trainer, state, ckpt
 
 

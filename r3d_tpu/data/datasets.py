@@ -52,7 +52,14 @@ def read_gt_file(path: str, gt_format: str) -> Tuple[List[str], Optional[List[st
 
 
 class VideoSource:
-    """Lazy per-video loader + train-table expansion over observation ratios."""
+    """Lazy per-video loader + train-table expansion over observation ratios.
+
+    Labels parse once per video into int arrays (the reference re-parses
+    strings in every __getitem__, basedataset.py:133-137); feature arrays
+    RAM-cache by default, or stream per-example through the native C++
+    loader (``cache='native'``, r3d_tpu/data/native.py) for datasets larger
+    than host memory.
+    """
 
     def __init__(
         self,
@@ -62,6 +69,7 @@ class VideoSource:
         n_class: int,
         pad_idx: int,
         query_dict: Optional[Dict[str, int]] = None,
+        cache: str = "ram",      # ram | native
     ):
         self.cfg = cfg
         self.vid_list = vid_list
@@ -69,6 +77,7 @@ class VideoSource:
         self.n_class = n_class
         self.pad_idx = pad_idx
         self.query_dict = query_dict
+        self.cache = cache
         root = _dataset_dir(cfg)
         self.features_path = os.path.join(root, cfg.features_dir)
         self.gt_path = os.path.join(root, cfg.gt_dir)
@@ -78,34 +87,108 @@ class VideoSource:
             else None
         )
         self._cache: Dict[str, Dict] = {}
+        self._meta: Dict[str, Dict] = {}
+
+    def _feature_file(self, vid_file: str) -> str:
+        return os.path.join(self.features_path, vid_file.split(".")[0] + ".npy")
+
+    def _depth_file(self, vid_file: str) -> str:
+        return os.path.join(self.depth_path, vid_file.split(".")[0] + ".npy")
+
+    def load_meta(self, vid: str) -> Dict:
+        """Parsed labels (int arrays) + paths; tiny, always cached."""
+        vid_file = vid.split("/")[-1]
+        if vid_file in self._meta:
+            return self._meta[vid_file]
+        labels, images, l3 = read_gt_file(
+            os.path.join(self.gt_path, vid_file), self.cfg.gt_format
+        )
+        label_idx = np.array(
+            [self.actions_dict[l.replace(" ", "")] for l in labels], np.int64
+        )
+        query_idx = None
+        if self.query_dict is not None and l3 is not None:
+            query_idx = np.array(
+                [self.query_dict[q.replace(" ", "")] for q in l3], np.int64
+            )
+        meta = {
+            "labels": labels, "label_idx": label_idx, "images": images,
+            "l3": l3, "query_idx": query_idx,
+        }
+        self._meta[vid_file] = meta
+        return meta
 
     def load_video(self, vid: str) -> Dict:
         vid_file = vid.split("/")[-1]
         if vid_file in self._cache:
             return self._cache[vid_file]
-        base = vid_file.split(".")[0]
-        gt_name = vid_file if self.cfg.gt_format == "csv" else vid_file
-        labels, images, l3 = read_gt_file(
-            os.path.join(self.gt_path, gt_name), self.cfg.gt_format
-        )
-        feats = np.load(os.path.join(self.features_path, base + ".npy"))
+        meta = self.load_meta(vid)
+        feats = np.load(self._feature_file(vid_file))
         if self.cfg.features_transposed:
             feats = feats.T
-        video = {"labels": labels, "features": feats, "images": images, "l3": l3}
+        video = dict(meta, features=feats)
         if self.depth_path is not None:
-            video["depth"] = np.load(os.path.join(self.depth_path, base + ".npy"))
-        self._cache[vid_file] = video
+            video["depth"] = np.load(self._depth_file(vid_file))
+        if self.cache == "ram":
+            self._cache[vid_file] = video
         return video
 
     def make_example(self, vid: str, obs_perc: float, sample_rate: int,
                      n_query: int) -> Example:
+        vid_file = vid.split("/")[-1]
+        if self.cache == "native":
+            from r3d_tpu.data import native
+            from r3d_tpu.data.protocol import make_example_from_indices
+
+            meta = self.load_meta(vid)
+            idx = meta["label_idx"]
+            vid_len = len(idx)
+            observed = int(obs_perc * vid_len)
+            n_rows = -(-observed // sample_rate) if observed else 0
+            shape = native.probe(self._feature_file(vid_file))
+            if shape is not None and n_rows > 0:
+                dims = shape[0]
+                row_elems = (
+                    dims[0] if self.cfg.features_transposed
+                    else int(np.prod(dims[1:]))
+                )
+                res = native.load_sliced(
+                    self._feature_file(vid_file), observed, sample_rate,
+                    n_rows, row_elems, transpose=self.cfg.features_transposed,
+                )
+                if res is not None:
+                    feats, n = res
+                    depth = None
+                    if self.depth_path is not None:
+                        dshape = native.probe(self._depth_file(vid_file))
+                        dres = (
+                            native.load_sliced(
+                                self._depth_file(vid_file), observed,
+                                sample_rate, n_rows, int(np.prod(dshape[0][1:])),
+                            )
+                            if dshape is not None
+                            else None
+                        )
+                        if dres is not None:
+                            depth = dres[0].reshape(
+                                (n_rows,) + tuple(dshape[0][1:])
+                            )
+                    return make_example_from_indices(
+                        feats[:n], idx, obs_perc, sample_rate, n_query,
+                        self.pad_idx, self.n_class,
+                        depth_features=None if depth is None else depth[:n],
+                        query_idx=meta["query_idx"], vid_name=vid,
+                        features_presliced=True,
+                    )
+            # fall through to the numpy path on any native failure
+
+        from r3d_tpu.data.protocol import make_example_from_indices
+
         v = self.load_video(vid)
-        return make_example(
-            v["features"], v["labels"], self.actions_dict, obs_perc, sample_rate,
-            n_query, self.pad_idx, self.n_class,
-            depth_features=v.get("depth"),
-            query_labels=v["l3"] if self.query_dict is not None else None,
-            query_dict=self.query_dict,
+        return make_example_from_indices(
+            v["features"], v["label_idx"], obs_perc, sample_rate, n_query,
+            self.pad_idx, self.n_class,
+            depth_features=v.get("depth"), query_idx=v["query_idx"],
             vid_name=vid,
         )
 

@@ -71,6 +71,18 @@ def labels_to_transcript(
     return np.array(actions, dtype=np.int64), np.array(durs, dtype=np.float64)
 
 
+def indices_to_transcript(idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized labels_to_transcript on an int index array (run-length
+    encode): same output as the string version, no Python loop."""
+    idx = np.asarray(idx)
+    n = len(idx)
+    starts = np.flatnonzero(np.concatenate([[True], idx[1:] != idx[:-1]]))
+    actions = idx[starts].astype(np.int64)
+    bounds = np.concatenate([starts, [n]])
+    durs = (bounds[1:] - bounds[:-1]) / n
+    return actions, durs.astype(np.float64)
+
+
 def pad_transcript(
     trans_future: np.ndarray,
     trans_future_dur: np.ndarray,
@@ -99,6 +111,64 @@ def pad_transcript(
     else:
         dur = np.concatenate([dur, np.full(1, pad_idx, dtype=np.float64)])
     return target, dur
+
+
+def make_example_from_indices(
+    features: np.ndarray,
+    label_idx: np.ndarray,
+    obs_perc: float,
+    sample_rate: int,
+    n_query: int,
+    pad_idx: int,
+    n_class: int,
+    depth_features: Optional[np.ndarray] = None,
+    query_idx: Optional[np.ndarray] = None,
+    pred_perc: float = 0.5,
+    vid_name: str = "",
+    features_presliced: bool = False,
+) -> Example:
+    """make_example on pre-parsed int label arrays — the hot loader path
+    (labels parse once per video, transcripts are vectorized).
+
+    ``features_presliced=True`` means features/depth already carry the
+    observed+strided window (the native loader emits them that way)."""
+    none_idx = n_class - 1
+    vid_len = len(label_idx)
+    observed_len = int(obs_perc * vid_len)
+    pred_len = int(pred_perc * vid_len)
+
+    past_label = label_idx[:observed_len][::sample_rate]
+    feats = features if features_presliced else features[:observed_len][::sample_rate]
+    if feats.shape[0] != len(past_label):
+        feats = feats[: len(past_label)]
+    depth = None
+    if depth_features is not None:
+        depth = (
+            depth_features
+            if features_presliced
+            else depth_features[:observed_len][::sample_rate]
+        )
+        if depth.shape[0] != len(past_label):
+            depth = depth[: len(past_label)]
+
+    future = label_idx[observed_len : observed_len + pred_len][::sample_rate]
+    trans_future, trans_future_dur = indices_to_transcript(future)
+    target, dur = pad_transcript(trans_future, trans_future_dur, n_query, pad_idx, none_idx)
+
+    query = None
+    if query_idx is not None:
+        query = query_idx[:observed_len][::sample_rate]
+
+    return Example(
+        features=np.ascontiguousarray(feats, dtype=np.float32),
+        past_label=past_label.astype(np.int64),
+        trans_future_target=target.astype(np.int64),
+        trans_future_dur=dur.astype(np.float32),
+        depth_features=None if depth is None else np.ascontiguousarray(depth, np.float32),
+        query_label=query,
+        vid_name=vid_name,
+        obs_perc=obs_perc,
+    )
 
 
 def make_example(

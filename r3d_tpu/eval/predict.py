@@ -76,9 +76,7 @@ class Predictor:
 
         for vid in source.vid_list:
             v = source.load_video(vid)
-            labels_idx = np.array(
-                [source.actions_dict[l.replace(" ", "")] for l in v["labels"]]
-            )
+            labels_idx = v["label_idx"]
             vid_len = len(labels_idx)
             if cfg.eval.max_eval_len and vid_len > cfg.eval.max_eval_len:
                 continue  # predict_breakfast.py:116-117

@@ -261,6 +261,7 @@ class Trainer:
         seed: int,
         checkpointer=None,
         log=print,
+        metrics_logger=None,
     ) -> TrainState:
         cfg = self.config.train
         train_step = self.make_train_step()
@@ -314,6 +315,13 @@ class Trainer:
             log(
                 f"Validation Loss: {val_loss:.3f}, Class Accuracy: {val_acc:.3f}"
             )
+            if metrics_logger is not None:
+                rec = {f"train_{k}": v / max(n_batches, 1) for k, v in agg.items()}
+                rec.update(
+                    epoch=epoch, seed=seed, train_acc=acc, val_loss=val_loss,
+                    val_acc=val_acc, clips_per_sec=n_clips / max(dt, 1e-9),
+                )
+                metrics_logger.log(rec, step=int(state.step))
 
             if val_acc > best_val_acc or weight_acc > best_weight_acc:
                 best_val_acc = max(val_acc, best_val_acc)
