@@ -86,6 +86,8 @@ class ModelConfig:
     # reference code — SURVEY.md §0). 0.0 disables.
     erank_weight: float = 0.0
     erank_target: Optional[float] = None
+    log_erank: bool = True              # log the fused-stream effective rank
+                                        # every step (the paper's analysis curve)
     # Compute dtype for the hot path ('bfloat16' on TPU, 'float32' for parity tests)
     compute_dtype: str = "bfloat16"
     use_pallas: bool = True             # fused Pallas kernels where profitable

@@ -6,14 +6,17 @@ run test-mode inference, decode the anticipated frames, then accumulate MoC
 counters at the eval horizons, plus the secondary anticipation/segmentation
 accuracies.
 
-Unlike the reference (one hard-coded path per dataset + per-video python
-loops), this driver takes a VideoSource and batches videos of the same
-bucket through one jitted forward.
+TPU design (the reference runs one python forward per video with a fresh
+graph per sequence length): observed windows pad up to the config's sequence
+buckets with an explicit key-padding mask (numerically exact — the softmax
+only sees real keys), videos of the same bucket batch together, and the
+whole sweep reuses one compiled program per (bucket, batch) shape.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional
+import collections
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +40,11 @@ def weighted_anticipation_accuracy(
     """predict_utkinects.py:105-137: compare the first min(Q, T) anticipated
     transcript entries against the future gt frames, 10x weight when the
     first future label differs from the last observed one."""
-    weight = weight_different if (len(future_labels) and future_labels[0] != last_observed) else weight_same
+    weight = (
+        weight_different
+        if (len(future_labels) and future_labels[0] != last_observed)
+        else weight_same
+    )
     length = min(len(future_labels), len(pred_actions))
     correct = 0.0
     total = 0.0
@@ -52,13 +59,69 @@ def weighted_anticipation_accuracy(
 
 
 class Predictor:
-    def __init__(self, config: Config, model, n_class: int):
+    def __init__(self, config: Config, model, n_class: int,
+                 eval_batch: int = 8):
         self.config = config
         self.model = model
         self.n_class = n_class
+        self.eval_batch = eval_batch
         self._jit_forward = jax.jit(
             lambda variables, *args: model.apply(variables, *args, train=False)
         )
+
+    def _prepare(self, source: VideoSource, obs_p: float):
+        """Slice/pad every video; group by bucket."""
+        cfg = self.config
+        sample_rate = cfg.data.sample_rate
+        groups: Dict[int, List[Dict]] = collections.defaultdict(list)
+        for vid in source.vid_list:
+            v = source.load_video(vid)
+            labels_idx = v["label_idx"]
+            vid_len = len(labels_idx)
+            if cfg.eval.max_eval_len and vid_len > cfg.eval.max_eval_len:
+                continue  # predict_breakfast.py:116-117
+            past_len = int(obs_p * vid_len)
+            if past_len < 1:
+                continue
+            feats = v["features"][:past_len][::sample_rate]
+            real_s = feats.shape[0]
+            S = bucket_length(real_s, cfg.data.seq_buckets)
+            item = {
+                "vid": vid, "labels_idx": labels_idx, "past_len": past_len,
+                "future_len": int(cfg.eval.pred_p * vid_len),
+                "real_s": real_s, "feats": feats,
+            }
+            if "depth" in v:
+                item["depth"] = v["depth"][:past_len][::sample_rate]
+            groups[S].append(item)
+        return groups
+
+    def _forward_batch(self, variables, items: List[Dict], S: int):
+        """Pad a bucket group chunk to (eval_batch, S, ...) and run one
+        compiled forward. Filler rows keep frame 0 valid so no softmax row is
+        fully masked; their outputs are discarded."""
+        B = self.eval_batch
+        n = len(items)
+        feat_dim = items[0]["feats"].shape[1:]
+        feats = np.zeros((B, S) + feat_dim, np.float32)
+        mask = np.ones((B, S), bool)
+        mask[:, 0] = False  # filler rows stay numerically safe
+        depth = None
+        if "depth" in items[0]:
+            depth = np.zeros((B, S) + items[0]["depth"].shape[1:], np.float32)
+        for i, it in enumerate(items):
+            r = it["real_s"]
+            feats[i, :r] = it["feats"]
+            mask[i, :r] = False
+            mask[i, r:] = True
+            if depth is not None:
+                depth[i, :r] = it["depth"]
+        args = [jnp.asarray(feats)]
+        if depth is not None:
+            args.append(jnp.asarray(depth))
+        args.append(jnp.asarray(mask))
+        outputs = self._jit_forward(variables, *args)
+        return {k: np.array(v[:n], np.float32) for k, v in outputs.items()}
 
     def predict(
         self,
@@ -70,65 +133,45 @@ class Predictor:
         cfg = self.config
         sample_rate = cfg.data.sample_rate
         none_idx = self.n_class - 1
-        n_query = cfg.model.n_query
         acc = MoCAccumulator(cfg.eval.eval_p, len(source.actions_dict))
         ant_acc_total, seg_acc_total, n_vids = 0.0, 0.0, 0
 
-        for vid in source.vid_list:
-            v = source.load_video(vid)
-            labels_idx = v["label_idx"]
-            vid_len = len(labels_idx)
-            if cfg.eval.max_eval_len and vid_len > cfg.eval.max_eval_len:
-                continue  # predict_breakfast.py:116-117
-            past_len = int(obs_p * vid_len)
-            future_len = int(cfg.eval.pred_p * vid_len)
-            if past_len < 1:
-                continue
+        groups = self._prepare(source, obs_p)
+        for S, items in sorted(groups.items()):
+            for start in range(0, len(items), self.eval_batch):
+                chunk = items[start : start + self.eval_batch]
+                outputs = self._forward_batch(variables, chunk, S)
+                for i, it in enumerate(chunk):
+                    labels_idx = it["labels_idx"]
+                    past_len, future_len = it["past_len"], it["future_len"]
+                    action_logits = outputs["action"][i]
+                    durations = outputs["duration"][i]
 
-            feats = v["features"][:past_len][::sample_rate]
-            real_s = feats.shape[0]
-            # pad the observed window to a bucket so every video/obs-ratio
-            # combination reuses one compiled shape; the key-padding mask
-            # makes this numerically exact (softmax keys restricted to real
-            # frames), unlike the reference's per-length graphs.
-            S = bucket_length(real_s, cfg.data.seq_buckets)
-            pad = S - real_s
-            feats = np.pad(feats, ((0, pad),) + ((0, 0),) * (feats.ndim - 1))
-            mask = np.zeros((1, S), dtype=bool)
-            mask[0, real_s:] = True
-            inputs = [jnp.asarray(feats, jnp.float32)[None]]
-            if "depth" in v:
-                depth = v["depth"][:past_len][::sample_rate]
-                depth = np.pad(depth, ((0, pad),) + ((0, 0),) * (depth.ndim - 1))
-                inputs.append(jnp.asarray(depth, jnp.float32)[None])
-            inputs.append(jnp.asarray(mask))
+                    frames, _ = decode_anticipation(
+                        action_logits, durations, future_len, none_idx
+                    )
+                    prediction = np.concatenate([labels_idx[:past_len], frames])
+                    acc.add_video(labels_idx, prediction, obs_p)
 
-            outputs = self._jit_forward(variables, *inputs)
-            action_logits = np.array(outputs["action"][0], np.float32)
-            durations = np.array(outputs["duration"][0], np.float32)
-
-            # frame-level decode over the future window
-            frames, _ = decode_anticipation(
-                action_logits, durations, future_len, none_idx
-            )
-            prediction = np.concatenate([labels_idx[:past_len], frames])
-            acc.add_video(labels_idx, prediction, obs_p)
-
-            # secondary metrics (predict_utkinects.py:305-328)
-            future_sub = labels_idx[past_len : past_len + future_len][::sample_rate]
-            pred_actions = np.argmax(action_logits, axis=-1)
-            last_obs = labels_idx[past_len - 1] if past_len else none_idx
-            ant_acc_total += weighted_anticipation_accuracy(
-                pred_actions, future_sub, last_obs,
-                exclude_class_idx=cfg.train.exclude_class_idx,
-            )
-            if "seg" in outputs:
-                seg_pred = np.argmax(np.array(outputs["seg"][0]), axis=-1)
-                past_sub = labels_idx[:past_len][::sample_rate]
-                n = min(len(seg_pred), len(past_sub))
-                if n:
-                    seg_acc_total += float(np.mean(seg_pred[:n] == past_sub[:n]))
-            n_vids += 1
+                    # secondary metrics (predict_utkinects.py:305-328)
+                    future_sub = labels_idx[
+                        past_len : past_len + future_len
+                    ][::sample_rate]
+                    pred_actions = np.argmax(action_logits, axis=-1)
+                    last_obs = labels_idx[past_len - 1]
+                    ant_acc_total += weighted_anticipation_accuracy(
+                        pred_actions, future_sub, last_obs,
+                        exclude_class_idx=cfg.train.exclude_class_idx,
+                    )
+                    if "seg" in outputs:
+                        seg_pred = np.argmax(outputs["seg"][i], axis=-1)
+                        past_sub = labels_idx[:past_len][::sample_rate]
+                        n = min(it["real_s"], len(past_sub))
+                        if n:
+                            seg_acc_total += float(
+                                np.mean(seg_pred[:n] == past_sub[:n])
+                            )
+                    n_vids += 1
 
         results = acc.results(obs_p)
         acc.print_results(obs_p)

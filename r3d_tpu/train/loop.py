@@ -188,13 +188,21 @@ class Trainer:
                 total = loss_l3 + loss_seg + loss_cls
             metrics.update(loss_l3=loss_l3, l3_correct=l3_nc, l3_total=l3_nw)
 
-        if cfg.model.erank_weight > 0.0 and "fused" in outputs:
+        if "fused" in outputs and (cfg.model.erank_weight > 0.0 or cfg.model.log_erank):
             valid = (past_label != pad).astype(jnp.float32)
-            loss_rank = effective_rank_loss(
-                outputs["fused"], valid, cfg.model.erank_target
-            )
-            total = total + cfg.model.erank_weight * loss_rank
-            metrics.update(loss_erank=loss_rank)
+            if cfg.model.erank_weight > 0.0:
+                loss_rank = effective_rank_loss(
+                    outputs["fused"], valid, cfg.model.erank_target
+                )
+                total = total + cfg.model.erank_weight * loss_rank
+                metrics.update(loss_erank=loss_rank)
+            if cfg.model.log_erank:
+                from r3d_tpu.ops import effective_rank
+
+                er = effective_rank(
+                    jax.lax.stop_gradient(outputs["fused"]), valid
+                )
+                metrics.update(erank=jnp.mean(er))
 
         metrics["loss"] = total
         return total, metrics

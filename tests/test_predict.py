@@ -1,0 +1,77 @@
+"""Predictor tests: bucket-padded batched inference must equal unpadded
+per-video forwards, and the MoC sweep must produce sane results."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from test_datasets import disk_dataset, make_cfg  # fixtures  # noqa: F401
+from r3d_tpu.config import get_config, ModelConfig, TrainConfig
+from r3d_tpu.data.datasets import build_source
+from r3d_tpu.eval.predict import Predictor
+from r3d_tpu.models import build_model
+
+
+def small_model_cfg():
+    return ModelConfig(
+        model="futr_fusion_bn", hidden_dim=32, n_head=4, n_encoder_layers=1,
+        n_decoder_layers=1, n_query=8, input_dim=12, max_pos_len=64,
+        compute_dtype="float32",
+    )
+
+
+@pytest.fixture(scope="module")
+def setup(disk_dataset):  # noqa: F811
+    cfg = get_config("utkinects").replace(
+        data=make_cfg(disk_dataset),
+        model=small_model_cfg(),
+        train=TrainConfig(loop="proposed_depth", min_train_batch=0),
+    )
+    source = build_source(cfg.data, "train_split.txt")
+    model = build_model(cfg.model, source.n_class)
+    v = source.load_video(source.vid_list[0])
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(v["features"][None], jnp.float32),
+        jnp.asarray(v["depth"][None], jnp.float32),
+        None, train=False,
+    )
+    return cfg, source, model, variables
+
+
+def test_padded_batch_forward_is_exact(setup):
+    """Bucket padding + key mask + filler rows must not change a video's
+    logits vs an unpadded single-video forward."""
+    cfg, source, model, variables = setup
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    groups = predictor._prepare(source, obs_p=0.5)
+    (S, items), = groups.items()  # all test videos land in the 64 bucket
+    outputs = predictor._forward_batch(variables, items[:3], S)
+
+    for i, it in enumerate(items[:3]):
+        direct = model.apply(
+            variables,
+            jnp.asarray(it["feats"][None], jnp.float32),
+            jnp.asarray(it["depth"][None], jnp.float32),
+            None, train=False,
+        )
+        np.testing.assert_allclose(
+            outputs["action"][i], np.array(direct["action"][0]), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            outputs["seg"][i][: it["real_s"]],
+            np.array(direct["seg"][0]), atol=2e-4,
+        )
+
+
+def test_predict_sweep_outputs(setup):
+    cfg, source, model, variables = setup
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    res = predictor.predict(variables, source, obs_p=0.3, log=lambda *a: None)
+    for p in (10, 20, 30, 50):
+        key = f"obs30_pred{p}"
+        assert key in res and 0.0 <= res[key] <= 1.0
+    assert 0.0 <= res["ant_acc"] <= 1.0
+    assert 0.0 <= res["seg_acc"] <= 1.0
