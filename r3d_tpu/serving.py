@@ -1,0 +1,144 @@
+"""Serving: a production-style inference session.
+
+The reference has no serving story (research scripts only). For deployment,
+``InferenceSession`` wraps a trained checkpoint behind one call:
+
+    session = InferenceSession.from_checkpoint(config, ckpt_dir, seed=1, n_class=...)
+    result = session.anticipate(features, depth)   # one video
+    results = session.anticipate_batch(list_of_videos)
+
+Design: device-resident params (optionally bf16), observed windows pad to
+the config's buckets with exact key masking, requests microbatch per bucket,
+and each (bucket, batch) shape compiles exactly once. Decode (transcript ->
+frame labels) runs on host, vectorized.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r3d_tpu.config import Config
+from r3d_tpu.data.pipeline import bucket_length
+from r3d_tpu.eval.decode import decode_anticipation
+from r3d_tpu.models import build_model, is_fusion_model
+
+
+class InferenceSession:
+    def __init__(self, config: Config, variables, n_class: int,
+                 max_batch: int = 8):
+        self.config = config
+        self.n_class = n_class
+        self.max_batch = max_batch
+        self.model = build_model(config.model, n_class)
+        self.is_fusion = is_fusion_model(config.model.model)
+        self.variables = jax.device_put(variables)
+        self._forward = jax.jit(
+            lambda v, *args: self.model.apply(v, *args, train=False)
+        )
+
+    @classmethod
+    def from_checkpoint(cls, config: Config, ckpt_dir: str, seed: int,
+                        n_class: int, example_batch=None, **kw):
+        from r3d_tpu.train.checkpoint import Checkpointer
+        from r3d_tpu.train.loop import Trainer
+
+        trainer = Trainer(config, n_class)
+        if example_batch is None:
+            # minimal synthetic example to shape the template state
+            S = config.data.seq_buckets[0]
+            example_batch = {
+                "features": np.zeros((1, S, config.model.input_dim), np.float32),
+                "past_label": np.zeros((1, S), np.int32),
+                "trans_future_target": np.zeros((1, config.model.n_query), np.int32),
+                "trans_future_dur": np.zeros((1, config.model.n_query), np.float32),
+            }
+            if is_fusion_model(config.model.model):
+                example_batch["depth_features"] = np.zeros(
+                    (1, S) + tuple(config.data.depth_shape), np.float32
+                )
+        template = trainer.init_state(jax.random.PRNGKey(0), example_batch,
+                                      steps_per_epoch=1)
+        state = Checkpointer(ckpt_dir).restore_best(seed, template)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return cls(config, variables, n_class, **kw)
+
+    def _pad(self, arr: np.ndarray, S: int) -> np.ndarray:
+        pad = S - arr.shape[0]
+        return np.pad(arr, ((0, pad),) + ((0, 0),) * (arr.ndim - 1))
+
+    def anticipate_batch(
+        self,
+        videos: Sequence[Dict[str, np.ndarray]],
+        future_len: Optional[int] = None,
+    ) -> List[Dict[str, np.ndarray]]:
+        """videos: dicts with 'features' [S, D] (+ 'depth' [S, ...]).
+
+        Returns per video: transcript actions+durations, decoded frame labels
+        over ``future_len`` (default: observed length), seg labels.
+        """
+        none_idx = self.n_class - 1
+        order: Dict[int, List[int]] = collections.defaultdict(list)
+        for i, v in enumerate(videos):
+            order[bucket_length(v["features"].shape[0],
+                                self.config.data.seq_buckets)].append(i)
+
+        results: List[Optional[Dict]] = [None] * len(videos)
+        for S, idxs in order.items():
+            for start in range(0, len(idxs), self.max_batch):
+                chunk = idxs[start : start + self.max_batch]
+                B = self.max_batch
+                feats = np.zeros(
+                    (B, S) + videos[chunk[0]]["features"].shape[1:], np.float32
+                )
+                mask = np.ones((B, S), bool)
+                mask[:, 0] = False
+                depth = None
+                if self.is_fusion:
+                    depth = np.zeros(
+                        (B, S) + videos[chunk[0]]["depth"].shape[1:], np.float32
+                    )
+                for j, i in enumerate(chunk):
+                    r = videos[i]["features"].shape[0]
+                    feats[j, :r] = videos[i]["features"]
+                    mask[j, :r] = False
+                    mask[j, r:] = True
+                    if depth is not None:
+                        depth[j, :r] = videos[i]["depth"]
+                args = [jnp.asarray(feats)]
+                if depth is not None:
+                    args.append(jnp.asarray(depth))
+                args.append(jnp.asarray(mask))
+                out = self._forward(self.variables, *args)
+                actions = np.array(out["action"], np.float32)
+                durs = np.array(out["duration"], np.float32)
+                segs = (
+                    np.argmax(np.array(out["seg"], np.float32), -1)
+                    if "seg" in out
+                    else None
+                )
+                for j, i in enumerate(chunk):
+                    r = videos[i]["features"].shape[0]
+                    horizon = future_len if future_len is not None else r
+                    frames, norm_dur = decode_anticipation(
+                        actions[j], durs[j], horizon, none_idx
+                    )
+                    results[i] = {
+                        "transcript": np.argmax(actions[j], -1),
+                        "durations": norm_dur,
+                        "future_frames": frames,
+                        "seg": None if segs is None else segs[j, :r],
+                    }
+        return results  # type: ignore[return-value]
+
+    def anticipate(self, features: np.ndarray,
+                   depth: Optional[np.ndarray] = None,
+                   future_len: Optional[int] = None) -> Dict[str, np.ndarray]:
+        video = {"features": features}
+        if depth is not None:
+            video["depth"] = depth
+        return self.anticipate_batch([video], future_len)[0]

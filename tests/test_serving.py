@@ -1,0 +1,52 @@
+"""Serving session: checkpoint -> batched anticipation API."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from test_datasets import disk_dataset, make_cfg  # noqa: F401
+from test_predict import small_model_cfg
+from r3d_tpu.config import get_config, TrainConfig
+from r3d_tpu.data.datasets import build_loader, build_source
+from r3d_tpu.serving import InferenceSession
+from r3d_tpu.train.checkpoint import Checkpointer
+from r3d_tpu.train.loop import Trainer
+
+
+def test_session_from_checkpoint(disk_dataset, tmp_path):  # noqa: F811
+    cfg = get_config("utkinects").replace(
+        data=make_cfg(disk_dataset),
+        model=small_model_cfg(),
+        train=TrainConfig(loop="proposed_depth", min_train_batch=0,
+                          batch_size=4),
+    )
+    source = build_source(cfg.data, "train_split.txt")
+    loader = build_loader(source, cfg.data, 4, cfg.model.n_query, mode="train")
+    trainer = Trainer(cfg, source.n_class)
+    batch = next(iter(loader))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, steps_per_epoch=1)
+    Checkpointer(str(tmp_path)).save_best(state, seed=1, epoch=0)
+
+    session = InferenceSession.from_checkpoint(
+        cfg, str(tmp_path), seed=1, n_class=source.n_class, max_batch=4
+    )
+    v0 = source.load_video(source.vid_list[0])
+    v1 = source.load_video(source.vid_list[1])
+    res = session.anticipate_batch(
+        [
+            {"features": v0["features"][:30], "depth": v0["depth"][:30]},
+            {"features": v1["features"][:20], "depth": v1["depth"][:20]},
+        ],
+        future_len=25,
+    )
+    assert len(res) == 2
+    for r, n_obs in zip(res, (30, 20)):
+        assert r["future_frames"].shape == (25,)
+        assert r["transcript"].shape == (cfg.model.n_query,)
+        assert r["seg"].shape == (n_obs,)
+        assert np.all(r["future_frames"] >= 0)
+
+    single = session.anticipate(v0["features"][:30], v0["depth"][:30],
+                                future_len=25)
+    np.testing.assert_array_equal(single["future_frames"], res[0]["future_frames"])
