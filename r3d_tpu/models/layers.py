@@ -67,10 +67,25 @@ class MultiheadAttention(nn.Module):
         kh = dense("k_proj")(k).reshape(B, Lk, H, D)
         vh = dense("v_proj")(v).reshape(B, Lk, H, D)
 
+        bias = attention_bias_from_padding(key_padding_mask, jnp.float32)
+
+        from r3d_tpu.ops.attention import attention_kernel_eligible, flash_attention
+
+        if (
+            attn_bias is None
+            and (deterministic or self.dropout == 0.0)
+            and attention_kernel_eligible(Lq, Lk, D)
+        ):
+            out = flash_attention(
+                jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2),
+                jnp.swapaxes(vh, 1, 2), bias, 1.0 / math.sqrt(D),
+            )
+            out = jnp.swapaxes(out, 1, 2).reshape(B, Lq, C)
+            return dense("out_proj")(out)
+
         scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(D)
-        bias = attention_bias_from_padding(key_padding_mask, scores.dtype)
         if bias is not None:
-            scores = scores + bias
+            scores = scores + bias.astype(scores.dtype)
         if attn_bias is not None:
             scores = scores + attn_bias.astype(scores.dtype)
         weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
