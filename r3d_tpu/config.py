@@ -40,6 +40,11 @@ class DataConfig:
     # breakfast/50salads feature files are stored [C, S] and transposed at
     # load (basedataset.py:53-54); utk/ntu/darai are frame-major already.
     features_transposed: bool = False
+    # 50salads proposed path: targets are L1 activities derived from the L2
+    # gt via ACTION_MAPPING; the raw L2 stream becomes the query
+    # (basedataset_proposed_50salads.py:10-66,118,132-134)
+    l1_relabel: bool = False
+    query_mapping_file: Optional[str] = None  # e.g. mapping_l2.txt / mapping_l3_changed.txt
     sample_rate: int = 1                # opts.py:82-85 (bf 3, 50salads 6, darai 15, utk/ntu 1)
     # Train-time observation-ratio replication (basedataset.py:28-32 vs
     # basedataset_utkinects.py:31-42).
@@ -169,6 +174,28 @@ CONFIGS = {
         model=ModelConfig(
             model="futr", hidden_dim=512, n_encoder_layers=2, n_decoder_layers=2,
             n_query=20, max_pos_len=3100, seg_excludes_none=True,
+        ),
+        train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0),
+    ),
+    # 50salads proposed path (main_proposed_50salads.py): L1 targets derived
+    # from the L2 gt, gt-L2 query conditioning, 3-seed protocol
+    "50salads_proposed": _cfg(
+        name="50salads_proposed",
+        data=DataConfig(
+            dataset="50salads", mapping_file="mapping_l1.txt",
+            query_mapping_file="mapping_l2.txt", l1_relabel=True,
+            features_dir="features",
+            train_split="train.split{split}.bundle",
+            val_split="test.split{split}.bundle",
+            depth_features_dir=None, gt_format="plain", sample_rate=6,
+            features_transposed=True,
+            train_obs_percs=(0.2, 0.3, 0.5),
+            seq_buckets=(128, 256, 512, 1024, 3100),
+        ),
+        model=ModelConfig(
+            model="futr_proposed", hidden_dim=512, n_encoder_layers=2,
+            n_decoder_layers=2, n_query=20, max_pos_len=3100, query_num=19,
+            seg_excludes_none=True,
         ),
         train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0),
     ),

@@ -103,6 +103,12 @@ class VideoSource:
         labels, images, l3 = read_gt_file(
             os.path.join(self.gt_path, vid_file), self.cfg.gt_format
         )
+        if self.cfg.l1_relabel:
+            # proposed-50salads: L2 gt -> L1 targets, raw L2 rides as query
+            from r3d_tpu.data.salads50 import relabel_sequence
+
+            l3 = labels
+            labels = relabel_sequence(labels)
         label_idx = np.array(
             [self.actions_dict[l.replace(" ", "")] for l in labels], np.int64
         )
@@ -200,6 +206,7 @@ def build_source(
     actions_dict = read_mapping_dict(os.path.join(root, cfg.mapping_file))
     n_class = len(actions_dict) + 1      # + NONE (main_utkinects.py:108)
     pad_idx = n_class + 1                # main_utkinects.py:109
+    query_mapping = query_mapping or cfg.query_mapping_file
     query_dict = (
         read_mapping_dict(os.path.join(root, query_mapping)) if query_mapping else None
     )

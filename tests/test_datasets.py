@@ -94,3 +94,45 @@ def test_native_cache_matches_ram(disk_dataset):
             np.testing.assert_array_equal(
                 a.trans_future_target, b.trans_future_target
             )
+
+
+def test_l1_relabel_50salads(tmp_path):
+    """proposed-50salads: L2 gt relabels to L1 targets; L2 rides as query."""
+    from r3d_tpu.data.salads50 import relabel_sequence
+
+    root = tmp_path / "50salads"
+    for d in ["features", "groundTruth", "splits"]:
+        os.makedirs(root / d, exist_ok=True)
+    l2 = ["cut_tomato_prep", "cut_tomato_core", "add_oil_prep", "serve_salad_onto_plate_core"]
+    l1 = relabel_sequence(l2)
+    assert l1 == ["cut_and_mix_ingredients", "cut_and_mix_ingredients",
+                  "prepare_dressing", "serve_salad"]
+    (root / "mapping_l1.txt").write_text(
+        "0 cut_and_mix_ingredients\n1 prepare_dressing\n2 serve_salad\n"
+    )
+    (root / "mapping_l2.txt").write_text(
+        "".join(f"{i} {n}\n" for i, n in enumerate(sorted(set(l2))))
+    )
+    labels = l2 * 10
+    feats = np.random.RandomState(0).randn(12, len(labels)).astype(np.float32)
+    np.save(root / "features" / "v0.npy", feats)  # [C, S]
+    (root / "groundTruth" / "v0.txt").write_text("".join(x + "\n" for x in labels))
+    (root / "splits" / "train.split1.bundle").write_text("v0.txt\n")
+
+    cfg = DataConfig(
+        dataset="50salads", data_root=str(tmp_path.parent / tmp_path.name),
+        mapping_file="mapping_l1.txt", query_mapping_file="mapping_l2.txt",
+        l1_relabel=True, features_dir="features", gt_format="plain",
+        depth_features_dir=None,
+        features_transposed=True, train_split="train.split{split}.bundle",
+        seq_buckets=(64,),
+    )
+    cfg = DataConfig(**{**cfg.__dict__, "data_root": str(tmp_path)})
+    src = build_source(cfg, "train.split1.bundle")
+    meta = src.load_meta("v0.txt")
+    # targets are L1 ids; query stream carries L2 ids
+    assert set(np.unique(meta["label_idx"])) <= {0, 1, 2}
+    assert meta["query_idx"] is not None
+    ex = src.make_example("v0.txt", 0.5, 1, 8)
+    assert ex.features.shape[1] == 12  # transposed load
+    assert ex.query_label is not None
