@@ -26,6 +26,8 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
     p.add_argument("--task", type=str, default="long")
     p.add_argument("--dataset_ops", type=str, default="",
                    help="run tag baked into checkpoint dirs (main_utkinects.py:185)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the rolling seed_{s}_last checkpoint")
     # training (opts.py:72-88)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--test_batch_size", type=int, default=1)
@@ -108,4 +110,5 @@ def run_from_argv(default_config: str, argv=None):
     args = build_parser(default_config).parse_args(argv)
     config = config_from_args(args)
     mode = "predict" if args.predict else args.mode
-    return main(config, mode=mode, dataset_ops=args.dataset_ops)
+    return main(config, mode=mode, dataset_ops=args.dataset_ops,
+                resume=args.resume)

@@ -39,7 +39,8 @@ def _splits(config: Config):
 
 
 def train(config: Config, seed: int, dataset_ops: str = "",
-          sources: Optional[Dict[str, VideoSource]] = None, log=print):
+          sources: Optional[Dict[str, VideoSource]] = None, log=print,
+          resume: bool = False):
     """Train one seed; returns (trainer, final_state, checkpointer)."""
     train_name, val_name = _splits(config)
     if sources is None:
@@ -65,12 +66,17 @@ def train(config: Config, seed: int, dataset_ops: str = "",
     )
     path = save_path(config, dataset_ops)
     ckpt = Checkpointer(path)
+    start_epoch = 0
+    if resume and ckpt.has(f"seed_{seed}_last"):
+        state = ckpt.restore_last(seed, state)
+        start_epoch = int(state.step) // max(len(train_loader), 1)
+        log(f"resumed seed {seed} at step {int(state.step)} (epoch {start_epoch})")
     from r3d_tpu.utils.metrics import MetricsLogger
 
     metrics = MetricsLogger(path, run_name=f"seed_{seed}_metrics")
     state = trainer.fit(
         state, train_loader, val_loader, seed, checkpointer=ckpt, log=log,
-        metrics_logger=metrics,
+        metrics_logger=metrics, start_epoch=start_epoch,
     )
     metrics.close()
     return trainer, state, ckpt
@@ -115,10 +121,11 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
     return all_results
 
 
-def main(config: Config, mode: str = "train", dataset_ops: str = "", log=print):
+def main(config: Config, mode: str = "train", dataset_ops: str = "", log=print,
+         resume: bool = False):
     if mode in ("train", "train_eval"):
         for seed in config.train.seeds:
             log(f"=== training seed {seed} ===")
-            train(config, seed, dataset_ops, log=log)
+            train(config, seed, dataset_ops, log=log, resume=resume)
     if mode in ("predict", "train_eval"):
         return predict(config, dataset_ops, log=log)

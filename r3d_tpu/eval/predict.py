@@ -129,12 +129,18 @@ class Predictor:
         source: VideoSource,
         obs_p: float,
         log: Callable = print,
+        gif_dir: Optional[str] = None,
+        frames_root: str = "",
     ) -> Dict[str, float]:
+        """``gif_dir``: also render gt-vs-pred anticipation GIFs per video
+        (reference make_gif.py flow) when the gt carries image paths."""
         cfg = self.config
         sample_rate = cfg.data.sample_rate
         none_idx = self.n_class - 1
         acc = MoCAccumulator(cfg.eval.eval_p, len(source.actions_dict))
         ant_acc_total, seg_acc_total, n_vids = 0.0, 0.0, 0
+        idx_to_name = {v: k for k, v in source.actions_dict.items()}
+        idx_to_name[none_idx] = "NONE"
 
         groups = self._prepare(source, obs_p)
         for S, items in sorted(groups.items()):
@@ -152,6 +158,28 @@ class Predictor:
                     )
                     prediction = np.concatenate([labels_idx[:past_len], frames])
                     acc.add_video(labels_idx, prediction, obs_p)
+
+                    if gif_dir is not None:
+                        meta = source.load_meta(it["vid"])
+                        if meta.get("images"):
+                            import os
+
+                            from r3d_tpu.eval.visualize import render_anticipation_gif
+
+                            n_show = min(len(meta["images"]), len(prediction))
+                            render_anticipation_gif(
+                                [
+                                    os.path.join(frames_root, p)
+                                    for p in meta["images"][:n_show]
+                                ],
+                                [idx_to_name.get(int(x), "?") for x in labels_idx[:n_show]],
+                                [idx_to_name.get(int(x), "?") for x in prediction[:n_show]],
+                                os.path.join(
+                                    gif_dir,
+                                    f"{it['vid'].split('/')[-1].split('.')[0]}_{obs_p}.gif",
+                                ),
+                                observed_count=past_len,
+                            )
 
                     # secondary metrics (predict_utkinects.py:305-328)
                     future_sub = labels_idx[

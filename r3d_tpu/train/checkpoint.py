@@ -35,6 +35,15 @@ class Checkpointer:
         self._ckptr.save(self._path(f"seed_{seed}_best"), state, force=True)
         self._ckptr.wait_until_finished()
 
+    def save_last(self, state: TrainState, seed: int) -> None:
+        """Rolling full-state checkpoint enabling exact mid-training resume
+        (the reference never saves optimizer state — SURVEY.md §5.4)."""
+        self._ckptr.save(self._path(f"seed_{seed}_last"), state, force=True)
+        self._ckptr.wait_until_finished()
+
+    def restore_last(self, seed: int, template: TrainState) -> TrainState:
+        return self.restore(f"seed_{seed}_last", template)
+
     def restore(self, name: str, template: TrainState) -> TrainState:
         return self._ckptr.restore(self._path(name), template)
 

@@ -270,15 +270,16 @@ class Trainer:
         checkpointer=None,
         log=print,
         metrics_logger=None,
+        start_epoch: int = 0,
     ) -> TrainState:
         cfg = self.config.train
         train_step = self.make_train_step()
         eval_step = self.make_eval_step()
-        rng = jax.random.PRNGKey(seed)
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_epoch)
 
         best_val_acc = 0.0
         best_weight_acc = 0.0
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             agg: Dict[str, float] = {}
             n_batches = 0
@@ -337,5 +338,7 @@ class Trainer:
                 if checkpointer is not None:
                     checkpointer.save_best(state, seed=seed, epoch=epoch)
                     log(f"Best model saved (val acc {val_acc:.3f})")
+            if checkpointer is not None:
+                checkpointer.save_last(state, seed=seed)
 
         return state

@@ -75,3 +75,18 @@ def test_predict_sweep_outputs(setup):
         assert key in res and 0.0 <= res[key] <= 1.0
     assert 0.0 <= res["ant_acc"] <= 1.0
     assert 0.0 <= res["seg_acc"] <= 1.0
+
+
+def test_predict_with_gifs(setup, tmp_path):
+    pytest.importorskip("imageio")
+    pytest.importorskip("matplotlib")
+    cfg, source, model, variables = setup
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    res = predictor.predict(
+        variables, source, obs_p=0.3, log=lambda *a: None,
+        gif_dir=str(tmp_path), frames_root="/nonexistent",  # black frames
+    )
+    import os
+
+    gifs = [f for f in os.listdir(tmp_path) if f.endswith(".gif")]
+    assert len(gifs) == len(source.vid_list)

@@ -112,3 +112,38 @@ def test_checkpoint_roundtrip(tmp_path):
     restored = ckpt.restore_best(1, template)
     for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.array(a), np.array(b))
+
+
+def test_resume_from_last(tmp_path):
+    """--resume: rolling seed_{s}_last restores exact step/opt state."""
+    import jax
+    from r3d_tpu.config import get_config, DataConfig, ModelConfig, TrainConfig
+    from r3d_tpu.data.synthetic import SyntheticSource
+    from r3d_tpu.data.pipeline import BucketedLoader
+    from r3d_tpu.train.loop import Trainer
+    from r3d_tpu.train.checkpoint import Checkpointer
+
+    src = SyntheticSource(n_videos=4, n_actions=4, vid_len_range=(30, 40),
+                          input_dim=16, seed=0)
+    cfg = get_config("synthetic").replace(
+        model=ModelConfig(model="futr", hidden_dim=16, n_head=2,
+                          n_encoder_layers=1, n_decoder_layers=1, n_query=8,
+                          input_dim=16, max_pos_len=64,
+                          compute_dtype="float32", seg_excludes_none=True),
+        train=TrainConfig(loop="futr", batch_size=4, epochs=2,
+                          min_train_batch=0),
+        data=DataConfig(dataset="synthetic", seq_buckets=(64,)),
+    )
+    fn, n = src.make_example_fn((0.3,), 1, 8)
+    mk = lambda: BucketedLoader(num_examples=n, make_example_fn=fn,
+                                batch_size=4, pad_idx=src.pad_idx,
+                                buckets=(64,), n_query=8, shuffle=False)
+    trainer = Trainer(cfg, src.n_class)
+    batch = next(iter(mk()))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, steps_per_epoch=1)
+    ckpt = Checkpointer(str(tmp_path))
+    state = trainer.fit(state, mk(), mk(), seed=1, checkpointer=ckpt)
+    assert ckpt.has("seed_1_last")
+    template = trainer.init_state(jax.random.PRNGKey(9), batch, steps_per_epoch=1)
+    restored = ckpt.restore_last(1, template)
+    assert int(restored.step) == int(state.step) and int(restored.step) > 0
