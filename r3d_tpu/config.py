@@ -53,6 +53,9 @@ class DataConfig:
     # Bucketed static shapes for XLA. Sequences pad up to the smallest bucket.
     seq_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2000)
     depth_shape: Tuple[int, int] = (160, 120)  # utk (futr_safuser_batchnormalization.py:154)
+    # NTU normalizes the whole depth stack to [0,255] uint8 at load
+    # (basedataset_nturgbd.py:42-52)
+    normalize_depth: bool = False
 
 
 @dataclass(frozen=True)
@@ -240,6 +243,7 @@ CONFIGS = {
         name="nturgbd",
         data=DataConfig(
             dataset="nturgbd", train_obs_percs=(0.2, 0.3, 0.5), depth_shape=(224, 224),
+            normalize_depth=True,
         ),
         model=ModelConfig(model="futr_fusion_bn", query_num=121),
         train=TrainConfig(loop="proposed_depth", exclude_class_idx=120, weighted_ce=True),

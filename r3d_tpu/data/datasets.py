@@ -134,7 +134,15 @@ class VideoSource:
             feats = feats.T
         video = dict(meta, features=feats)
         if self.depth_path is not None:
-            video["depth"] = np.load(self._depth_file(vid_file))
+            depth = np.load(self._depth_file(vid_file))
+            if self.cfg.normalize_depth:
+                # NTU: whole-stack min-max -> [0,255] uint8
+                # (basedataset_nturgbd.py:42-52)
+                lo, hi = depth.min(), depth.max()
+                if hi > lo:
+                    depth = (depth - lo) / (hi - lo) * 255
+                depth = depth.astype(np.uint8)
+            video["depth"] = depth
         if self.cache == "ram":
             self._cache[vid_file] = video
         return video
