@@ -231,6 +231,10 @@ CONFIGS = {
         data=DataConfig(
             dataset="darai", sample_rate=15, depth_shape=(224, 224),
             train_obs_percs=(0.2, 0.3, 0.5),
+            # L3 query stream from mapping_l3_changed.txt (main_darai.py:88-89);
+            # the unsupervised model consumes queries, not raw depth
+            query_mapping_file="mapping_l3_changed.txt",
+            depth_features_dir=None,
         ),
         model=ModelConfig(model="futr_unsupervised", query_num=48),
         train=TrainConfig(

@@ -136,3 +136,14 @@ def test_l1_relabel_50salads(tmp_path):
     ex = src.make_example("v0.txt", 0.5, 1, 8)
     assert ex.features.shape[1] == 12  # transposed load
     assert ex.query_label is not None
+
+
+def test_normalize_depth_load(disk_dataset):
+    """NTU-style whole-stack depth min-max at load (basedataset_nturgbd.py:42-52)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(make_cfg(disk_dataset), normalize_depth=True)
+    src = build_source(cfg, "train_split.txt")
+    v = src.load_video(src.vid_list[0])
+    assert v["depth"].dtype == np.uint8
+    assert v["depth"].min() == 0 and v["depth"].max() == 255
