@@ -52,8 +52,12 @@ class TorchBatchNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (normalized, |gamma|)."""
+    def __call__(
+        self, x: jnp.ndarray, *, train: bool, stats_only: bool = False
+    ):
+        """Returns (normalized, |gamma|), or (mean, var, scale, bias) when
+        ``stats_only`` (the fused-kernel path folds the affine itself).
+        Running statistics update in train mode either way."""
         C = self.features
         scale = self.param("scale", nn.initializers.ones, (C,))
         bias = self.param("bias", nn.initializers.zeros, (C,))
@@ -72,6 +76,9 @@ class TorchBatchNorm(nn.Module):
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
+
+        if stats_only:
+            return mean, var, scale, bias
 
         inv = jax.lax.rsqrt(var + self.epsilon)
         y = (x - mean.astype(x.dtype)) * (inv * scale).astype(x.dtype) + bias.astype(x.dtype)
@@ -195,10 +202,13 @@ class _SAFuserCore(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, stacked: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, stacked: jnp.ndarray, deterministic: bool = True,
+                 blend=None) -> jnp.ndarray:
+        """``blend``: optional BlendParams — ``stacked`` then carries the RAW
+        modality streams and the BN-affine + alpha-blend prologue fuses into
+        the kernel (or runs composed first)."""
         B, T, M, C = stacked.shape
         x = stacked.reshape(B * T, M, C)
-        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
 
         block0 = FuserBlock(
             self.dim, self.n_head, two_token_exact=self.two_token_exact,
@@ -209,19 +219,21 @@ class _SAFuserCore(nn.Module):
 
         from r3d_tpu.ops.fuser_kernel import pallas_enabled
 
-        if (
+        kernel_ok = (
             self.use_pallas
             and self.depth == 1
             and self.two_token_exact
             and M == 2
             and not block0.qkv_bias
             and pallas_enabled()
-        ):
-            # fused Pallas tail: the whole block + LN + modality mean in one
-            # kernel pass (r3d_tpu/ops/fuser_kernel.py)
-            from r3d_tpu.ops.fuser_kernel import FuserTailParams, fused_safuser_tail
+        )
+        no_dropout = deterministic or self.drop_rate == 0.0
+
+        def tail_params():
+            from r3d_tpu.ops.fuser_kernel import FuserTailParams
+
             wvp = block0.qkv_kernel[:, 2 * C :] @ block0.proj_kernel
-            params = FuserTailParams(
+            return FuserTailParams(
                 norm1_scale=block0.norm1_scale, norm1_bias=block0.norm1_bias,
                 wvp=wvp, proj_bias=block0.proj_bias,
                 norm2_scale=block0.norm2_scale, norm2_bias=block0.norm2_bias,
@@ -229,9 +241,31 @@ class _SAFuserCore(nn.Module):
                 mlp2_kernel=block0.mlp2_kernel, mlp2_bias=block0.mlp2_bias,
                 norm_out_scale=norm_scale, norm_out_bias=norm_bias,
             )
-            r = x[:, 0, :]
-            d = x[:, 1, :]
-            fused = fused_safuser_tail(r, d, params, self.outer_residual)
+
+        if kernel_ok and blend is not None and no_dropout:
+            # whole CMFuser in one kernel (BN + blend + tail)
+            from r3d_tpu.ops.fuser_kernel import fused_bn_blend_tail
+
+            fused = fused_bn_blend_tail(
+                x[:, 0, :], x[:, 1, :], blend, tail_params(), self.outer_residual
+            )
+            return fused.astype(self.dtype).reshape(B, T, C)
+
+        if blend is not None:
+            # composed prologue (dropout must sit between blend and blocks)
+            from r3d_tpu.ops.fuser_kernel import composed_bn_blend
+
+            ex_r, ex_d = composed_bn_blend(x[:, 0, :], x[:, 1, :], blend)
+            x = jnp.stack([ex_r, ex_d], axis=1)
+
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+        if kernel_ok:
+            from r3d_tpu.ops.fuser_kernel import fused_safuser_tail
+
+            fused = fused_safuser_tail(
+                x[:, 0, :], x[:, 1, :], tail_params(), self.outer_residual
+            )
             return fused.astype(self.dtype).reshape(B, T, C)
 
         x_res = x
@@ -265,29 +299,39 @@ class CMFuserBN(nn.Module):
     def __call__(
         self, rgb: jnp.ndarray, depth: jnp.ndarray, *, train: bool = False
     ) -> jnp.ndarray:
+        from r3d_tpu.ops.fuser_kernel import BlendParams
+
         C = self.dim
-        rgb_n, gamma_rgb = TorchBatchNorm(C, dtype=self.dtype, name="bn_rgb")(
-            rgb, train=train
-        )
-        depth_n, gamma_depth = TorchBatchNorm(C, dtype=self.dtype, name="bn_depth")(
-            depth, train=train
-        )
+        eps = 1e-5
+        mean_r, var_r, sc_r, bi_r = TorchBatchNorm(
+            C, dtype=self.dtype, name="bn_rgb"
+        )(rgb, train=train, stats_only=True)
+        mean_d, var_d, sc_d, bi_d = TorchBatchNorm(
+            C, dtype=self.dtype, name="bn_depth"
+        )(depth, train=train, stats_only=True)
 
         k = max(0, int(C * self.exchange_frac))
-        mask_rgb = bottomk_mask(gamma_rgb, k)
-        mask_depth = bottomk_mask(gamma_depth, k)
-
+        mask_rgb = bottomk_mask(jnp.abs(sc_r), k)
+        mask_depth = bottomk_mask(jnp.abs(sc_d), k)
         alpha = self.param("alpha", nn.initializers.uniform(1.0), (1, 1, C))
-        a = alpha.astype(rgb_n.dtype)
-        ex_rgb = jnp.where(mask_rgb, a * rgb_n + (1 - a) * depth_n, rgb_n)
-        ex_depth = jnp.where(mask_depth, a * depth_n + (1 - a) * rgb_n, depth_n)
 
-        stacked = jnp.stack([ex_rgb, ex_depth], axis=2)  # [B,T,2,C]
+        # fold BN into per-channel affine vectors (scale = gamma*rsqrt(var+eps))
+        scale_r = sc_r * jax.lax.rsqrt(var_r + eps)
+        scale_d = sc_d * jax.lax.rsqrt(var_d + eps)
+        blend = BlendParams(
+            scale_r=scale_r, shift_r=bi_r - mean_r * scale_r,
+            scale_d=scale_d, shift_d=bi_d - mean_d * scale_d,
+            mask_r=mask_rgb.astype(jnp.float32),
+            mask_d=mask_depth.astype(jnp.float32),
+            alpha=alpha[0, 0],
+        )
+
+        stacked = jnp.stack([rgb, depth], axis=2)  # raw streams [B,T,2,C]
         return _SAFuserCore(
             self.dim, self.depth, self.n_head, outer_residual=False,
             two_token_exact=self.two_token_exact, drop_rate=self.drop_rate,
             use_pallas=self.use_pallas, dtype=self.dtype, name="safuser",
-        )(stacked, deterministic=not train)
+        )(stacked, deterministic=not train, blend=blend)
 
 
 class CMFuserGrad(nn.Module):

@@ -39,6 +39,21 @@ def pallas_enabled() -> bool:
     return jax.default_backend() == "tpu" or os.environ.get("R3D_FORCE_PALLAS") == "1"
 
 
+class BlendParams(NamedTuple):
+    """BN-affine + channel-blend prologue (futr_safuser_batchnormalization
+    token_fusion): normalized = x*scale + shift with
+    scale = gamma*rsqrt(var+eps), shift = beta - mean*scale precomputed;
+    bottom-k channels (mask as float) alpha-blend with the other modality."""
+
+    scale_r: jnp.ndarray   # [C]
+    shift_r: jnp.ndarray
+    scale_d: jnp.ndarray
+    shift_d: jnp.ndarray
+    mask_r: jnp.ndarray    # [C] float 0/1
+    mask_d: jnp.ndarray
+    alpha: jnp.ndarray     # [C]
+
+
 class FuserTailParams(NamedTuple):
     norm1_scale: jnp.ndarray   # [C]
     norm1_bias: jnp.ndarray
@@ -76,6 +91,19 @@ def _ln(x, scale, bias, eps=1e-5):
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
+def composed_bn_blend(r_raw, d_raw, blend: BlendParams):
+    """Plain-JAX BN-affine + alpha-blend prologue."""
+    dt = r_raw.dtype
+    rn = r_raw * blend.scale_r.astype(dt) + blend.shift_r.astype(dt)
+    dn = d_raw * blend.scale_d.astype(dt) + blend.shift_d.astype(dt)
+    a = blend.alpha.astype(dt)
+    mr = blend.mask_r.astype(dt)
+    md = blend.mask_d.astype(dt)
+    ex_r = mr * (a * rn + (1 - a) * dn) + (1 - mr) * rn
+    ex_d = md * (a * dn + (1 - a) * rn) + (1 - md) * dn
+    return ex_r, ex_d
+
+
 def composed_tail(
     r: jnp.ndarray, d: jnp.ndarray, params: FuserTailParams, outer_residual: bool
 ) -> jnp.ndarray:
@@ -105,11 +133,20 @@ def composed_tail(
     return y.astype(dt)
 
 
-def _kernel(r_ref, d_ref, n1s, n1b, wvp, pb, n2s, n2b, w1, b1, w2, b2, nos, nob,
-            out_ref, *, outer_residual: bool):
+def _kernel(r_ref, d_ref, *refs, outer_residual: bool, with_blend: bool):
     r = r_ref[:]
     d = d_ref[:]
     dt = r.dtype
+    if with_blend:
+        (sr, hr, sd, hd, mr, md, al), refs = refs[:7], refs[7:]
+        rn = r * sr[0].astype(dt) + hr[0].astype(dt)
+        dn = d * sd[0].astype(dt) + hd[0].astype(dt)
+        a = al[0].astype(dt)
+        mr_ = mr[0].astype(dt)
+        md_ = md[0].astype(dt)
+        r = mr_ * (a * rn + (1 - a) * dn) + (1 - mr_) * rn
+        d = md_ * (a * dn + (1 - a) * rn) + (1 - md_) * dn
+    n1s, n1b, wvp, pb, n2s, n2b, w1, b1, w2, b2, nos, nob, out_ref = refs
     ln = lambda x, s, b: _ln(x, s[0], b[0]).astype(dt)
 
     h_r = ln(r, n1s, n1b)
@@ -143,7 +180,7 @@ def _kernel(r_ref, d_ref, n1s, n1b, wvp, pb, n2s, n2b, w1, b1, w2, b2, nos, nob,
 
 
 def _pallas_forward(r, d, params: FuserTailParams, outer_residual: bool,
-                    tile_n: int = 512):
+                    blend=None, tile_n: int = 512):
     N, C = r.shape
     Ch = params.mlp1_kernel.shape[1]
     pad_n = (-N) % tile_n
@@ -160,11 +197,22 @@ def _pallas_forward(r, d, params: FuserTailParams, outer_residual: bool,
     tile_spec = pl.BlockSpec((tile_n, C), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
 
+    blend_args = []
+    blend_specs = []
+    if blend is not None:
+        blend_args = [
+            row2(blend.scale_r), row2(blend.shift_r),
+            row2(blend.scale_d), row2(blend.shift_d),
+            row2(blend.mask_r), row2(blend.mask_d), row2(blend.alpha),
+        ]
+        blend_specs = [vec_spec] * 7
+
     out = pl.pallas_call(
-        functools.partial(_kernel, outer_residual=outer_residual),
+        functools.partial(
+            _kernel, outer_residual=outer_residual, with_blend=blend is not None
+        ),
         grid=(Np // tile_n,),
-        in_specs=[
-            tile_spec, tile_spec,
+        in_specs=[tile_spec, tile_spec] + blend_specs + [
             vec_spec, vec_spec,                 # norm1
             mat_spec(C, C), vec_spec,           # wvp, proj bias
             vec_spec, vec_spec,                 # norm2
@@ -181,7 +229,7 @@ def _pallas_forward(r, d, params: FuserTailParams, outer_residual: bool,
         ),
         interpret=jax.default_backend() != "tpu",
     )(
-        r, d,
+        r, d, *blend_args,
         row2(params.norm1_scale), row2(params.norm1_bias),
         params.wvp, row2(params.proj_bias),
         row2(params.norm2_scale), row2(params.norm2_bias),
@@ -211,3 +259,31 @@ def _bwd(outer_residual, res, g):
 
 
 fused_safuser_tail.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_bn_blend_tail(r_raw, d_raw, blend: BlendParams,
+                        params: FuserTailParams, outer_residual: bool):
+    """The COMPLETE CMFuser in one kernel pass: BN-affine normalize +
+    bottom-k alpha-blend + 2-token attention + MLP + LN + modality mean.
+    BN statistics (batch or running) fold into blend.scale/shift outside."""
+    return _pallas_forward(r_raw, d_raw, params, outer_residual, blend=blend)
+
+
+def _fwd_bn(r_raw, d_raw, blend, params, outer_residual):
+    out = _pallas_forward(r_raw, d_raw, params, outer_residual, blend=blend)
+    return out, (r_raw, d_raw, blend, params)
+
+
+def _bwd_bn(outer_residual, res, g):
+    r_raw, d_raw, blend, params = res
+
+    def f(r_, d_, b_, p_):
+        ex_r, ex_d = composed_bn_blend(r_, d_, b_)
+        return composed_tail(ex_r, ex_d, p_, outer_residual)
+
+    _, vjp = jax.vjp(f, r_raw, d_raw, blend, params)
+    return vjp(g)
+
+
+fused_bn_blend_tail.defvjp(_fwd_bn, _bwd_bn)

@@ -88,3 +88,66 @@ def test_safuser_core_pallas_path_matches_composed():
     np.testing.assert_allclose(
         np.array(out_kernel), np.array(out_composed), atol=2e-5
     )
+
+
+def test_cmfuser_bn_fully_fused_matches_composed():
+    """CMFuserBN end-to-end (BN + blend + tail) kernel path vs composed,
+    eval and train(drop=0) including gradients."""
+    from r3d_tpu.models.fuser import CMFuserBN
+
+    rng = np.random.RandomState(5)
+    rgb = jnp.array(rng.randn(6, 20, 64).astype(np.float32))
+    depth = jnp.array(rng.randn(6, 20, 64).astype(np.float32))
+
+    composed = CMFuserBN(64, n_head=4, drop_rate=0.0, use_pallas=False)
+    variables = composed.init(jax.random.PRNGKey(0), rgb, depth, train=False)
+    # randomize BN params/stats so the prologue is non-trivial
+    p = jax.device_get(variables["params"])
+    p["bn_rgb"]["scale"] = rng.randn(64).astype(np.float32)
+    p["bn_depth"]["scale"] = rng.randn(64).astype(np.float32)
+    bs = {
+        "bn_rgb": {"mean": rng.randn(64).astype(np.float32) * 0.3,
+                   "var": rng.rand(64).astype(np.float32) + 0.5},
+        "bn_depth": {"mean": rng.randn(64).astype(np.float32) * 0.3,
+                     "var": rng.rand(64).astype(np.float32) + 0.5},
+    }
+    variables = {"params": jax.tree.map(jnp.asarray, p),
+                 "batch_stats": jax.tree.map(jnp.asarray, bs)}
+
+    kernelized = CMFuserBN(64, n_head=4, drop_rate=0.0, use_pallas=True)
+
+    for train in (False, True):
+        kw = dict(train=train)
+        if train:
+            kw["rngs"] = {"dropout": jax.random.PRNGKey(1)}
+        out_c = composed.apply(variables, rgb, depth,
+                               mutable=["batch_stats"], **kw)[0]
+        os.environ["R3D_FORCE_PALLAS"] = "1"
+        try:
+            out_k = kernelized.apply(variables, rgb, depth,
+                                     mutable=["batch_stats"], **kw)[0]
+        finally:
+            del os.environ["R3D_FORCE_PALLAS"]
+        np.testing.assert_allclose(np.array(out_k), np.array(out_c), atol=3e-5)
+
+    # gradients through the fully fused op (train mode, batch stats)
+    def loss(fuser, force):
+        def f(params):
+            if force:
+                os.environ["R3D_FORCE_PALLAS"] = "1"
+            try:
+                out, _ = fuser.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    rgb, depth, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(1)},
+                )
+            finally:
+                os.environ.pop("R3D_FORCE_PALLAS", None)
+            return jnp.sum(out ** 2)
+
+        return f
+
+    g_c = jax.grad(loss(composed, False))(variables["params"])
+    g_k = jax.grad(loss(kernelized, True))(variables["params"])
+    for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-3, rtol=2e-3)
