@@ -35,8 +35,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def pallas_enabled() -> bool:
-    """Kernel path gate: real TPU, or forced (interpret mode) for tests."""
-    return jax.default_backend() == "tpu" or os.environ.get("R3D_FORCE_PALLAS") == "1"
+    """Kernel path gate: real TPU single-device, or forced (interpret mode)
+    for tests.
+
+    Multi-device note: a pallas_call under plain jit with dp-sharded operands
+    makes XLA gather them to one device (correct, slow). Until the kernels
+    are wrapped in shard_map over the dp axis (ROADMAP), multi-device runs
+    take the composed XLA path, which partitions cleanly.
+    """
+    if os.environ.get("R3D_FORCE_PALLAS") == "1":
+        return True
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 class BlendParams(NamedTuple):
