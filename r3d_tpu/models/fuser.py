@@ -244,9 +244,9 @@ class _SAFuserCore(nn.Module):
 
         if kernel_ok and blend is not None and no_dropout:
             # whole CMFuser in one kernel (BN + blend + tail)
-            from r3d_tpu.ops.fuser_kernel import fused_bn_blend_tail
+            from r3d_tpu.ops.fuser_kernel import fused_bn_blend_tail_sharded
 
-            fused = fused_bn_blend_tail(
+            fused = fused_bn_blend_tail_sharded(
                 x[:, 0, :], x[:, 1, :], blend, tail_params(), self.outer_residual
             )
             return fused.astype(self.dtype).reshape(B, T, C)
@@ -261,9 +261,9 @@ class _SAFuserCore(nn.Module):
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
 
         if kernel_ok:
-            from r3d_tpu.ops.fuser_kernel import fused_safuser_tail
+            from r3d_tpu.ops.fuser_kernel import fused_safuser_tail_sharded
 
-            fused = fused_safuser_tail(
+            fused = fused_safuser_tail_sharded(
                 x[:, 0, :], x[:, 1, :], tail_params(), self.outer_residual
             )
             return fused.astype(self.dtype).reshape(B, T, C)

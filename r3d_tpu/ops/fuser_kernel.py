@@ -35,17 +35,52 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def pallas_enabled() -> bool:
-    """Kernel path gate: real TPU single-device, or forced (interpret mode)
-    for tests.
+    """Kernel path gate: real TPU, or forced (interpret mode) for tests.
 
-    Multi-device note: a pallas_call under plain jit with dp-sharded operands
-    makes XLA gather them to one device (correct, slow). Until the kernels
-    are wrapped in shard_map over the dp axis (ROADMAP), multi-device runs
-    take the composed XLA path, which partitions cleanly.
+    Multi-device note: a bare pallas_call under jit with dp-sharded operands
+    makes XLA gather them to one device. The fuser ops are row-parallel, so
+    when a mesh is active (parallel.mesh.set_active_mesh) they shard_map
+    themselves over dp; without an active mesh, multi-device runs take the
+    composed XLA path, which partitions cleanly.
     """
     if os.environ.get("R3D_FORCE_PALLAS") == "1":
         return True
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    if jax.default_backend() != "tpu":
+        return False
+    if jax.device_count() == 1:
+        return True
+    from r3d_tpu.parallel.mesh import active_mesh
+
+    return active_mesh() is not None
+
+
+def _maybe_shard_mapped(op, n_diff_args: int):
+    """Wrap a row-parallel op (leading axis = B*T rows) in shard_map over the
+    active mesh's dp axis; identity when no multi-device mesh is active.
+
+    ``op(r, d, *tree_args, static_flag)``: first two args row-sharded, the
+    rest replicated parameter pytrees, one trailing static bool.
+    """
+
+    def call(r, d, *args):
+        *tree_args, static_flag = args
+        from r3d_tpu.parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        if mesh is None or mesh.shape.get("dp", 1) == 1:
+            return op(r, d, *tree_args, static_flag)
+        from jax.sharding import PartitionSpec as P
+
+        f = jax.shard_map(
+            lambda r_, d_, *t: op(r_, d_, *t, static_flag),
+            mesh=mesh,
+            in_specs=(P("dp"), P("dp")) + (P(),) * n_diff_args,
+            out_specs=P("dp"),
+            check_vma=False,
+        )
+        return f(r, d, *tree_args)
+
+    return call
 
 
 class BlendParams(NamedTuple):
@@ -296,3 +331,7 @@ def _bwd_bn(outer_residual, res, g):
 
 
 fused_bn_blend_tail.defvjp(_fwd_bn, _bwd_bn)
+
+# mesh-aware entry points (row-shard over dp when a mesh is active)
+fused_safuser_tail_sharded = _maybe_shard_mapped(fused_safuser_tail, 1)
+fused_bn_blend_tail_sharded = _maybe_shard_mapped(fused_bn_blend_tail, 2)

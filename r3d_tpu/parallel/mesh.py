@@ -26,6 +26,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    """Advertise the mesh that batches are sharded over, so row-parallel
+    Pallas ops can shard_map themselves over the dp axis (read at trace
+    time by r3d_tpu/ops/fuser_kernel.py)."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
+
 def make_mesh(
     dp: int = -1, tp: int = 1, devices: Optional[Sequence[Any]] = None
 ) -> Mesh:

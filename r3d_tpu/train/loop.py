@@ -72,6 +72,11 @@ class Trainer:
             "futr_unsupervised_depth",
         )
         self.mesh = mesh
+        if mesh is not None:
+            # lets row-parallel Pallas ops shard_map themselves over dp
+            from r3d_tpu.parallel.mesh import set_active_mesh
+
+            set_active_mesh(mesh)
         self.tx = None
         self._train_step = None
         self._eval_step = None
