@@ -96,6 +96,8 @@ class ModelConfig:
     erank_target: Optional[float] = None
     log_erank: bool = True              # log the fused-stream effective rank
                                         # every step (the paper's analysis curve)
+    sow_attn: bool = False              # capture attention weights into the
+                                        # 'intermediates' collection (viz)
     # Compute dtype for the hot path ('bfloat16' on TPU, 'float32' for parity tests)
     compute_dtype: str = "bfloat16"
     use_pallas: bool = True             # fused Pallas kernels where profitable

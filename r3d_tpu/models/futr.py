@@ -115,6 +115,7 @@ class FUTR(nn.Module):
             cfg.hidden_dim, cfg.n_head, cfg.n_encoder_layers, cfg.n_decoder_layers,
             cfg.hidden_dim * 4, cfg.dropout, use_encoder=cfg.use_encoder,
             n_query=cfg.n_query, max_pos_len=cfg.max_pos_len,
+            sow_attn=cfg.sow_attn,
             dtype=_dtype(cfg), name="transformer",
         )(src, pos, action_query, src_pad_mask, deterministic=not train)
 

@@ -159,6 +159,7 @@ class FUTRUnsupervised(nn.Module):
             cfg.hidden_dim, cfg.n_head, cfg.n_encoder_layers, cfg.n_decoder_layers,
             cfg.hidden_dim * 4, cfg.dropout, use_encoder=cfg.use_encoder,
             n_query=cfg.n_query, max_pos_len=cfg.max_pos_len,
+            sow_attn=cfg.sow_attn,
             dtype=dt, name="transformer",
         )(src, pos, pooled_query, src_pad_mask, deterministic=not train)
 

@@ -45,6 +45,10 @@ class MultiheadAttention(nn.Module):
     dim: int
     n_head: int
     dropout: float = 0.0
+    # sow attention weights into the 'intermediates' collection for the
+    # attention-map dumps the reference keeps commented out
+    # (transformer.py:305-322; plot via eval/visualize.attention_map_plot)
+    sow_weights: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -89,6 +93,8 @@ class MultiheadAttention(nn.Module):
         if attn_bias is not None:
             scores = scores + attn_bias.astype(scores.dtype)
         weights = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.sow_weights:
+            self.sow("intermediates", "attn_weights", weights)
         weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh).reshape(B, Lq, C)
         return dense("out_proj")(out)
@@ -120,6 +126,7 @@ class EncoderLayer(nn.Module):
     n_head: int
     ffn_dim: int
     dropout: float = 0.1
+    sow_attn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -132,7 +139,8 @@ class EncoderLayer(nn.Module):
     ) -> jnp.ndarray:
         qkv = src if pos is None else src + pos
         attn = MultiheadAttention(
-            self.dim, self.n_head, self.dropout, dtype=self.dtype, name="self_attn"
+            self.dim, self.n_head, self.dropout, sow_weights=self.sow_attn,
+            dtype=self.dtype, name="self_attn",
         )(qkv, qkv, qkv, key_padding_mask, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
@@ -151,6 +159,7 @@ class DecoderLayer(nn.Module):
     n_head: int
     ffn_dim: int
     dropout: float = 0.1
+    sow_attn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -165,14 +174,16 @@ class DecoderLayer(nn.Module):
     ) -> jnp.ndarray:
         q = tgt if query_pos is None else tgt + query_pos
         sa = MultiheadAttention(
-            self.dim, self.n_head, self.dropout, dtype=self.dtype, name="self_attn"
+            self.dim, self.n_head, self.dropout, sow_weights=self.sow_attn,
+            dtype=self.dtype, name="self_attn",
         )(q, q, q, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
 
         mem = memory if pos is None else memory + pos
         ca = MultiheadAttention(
-            self.dim, self.n_head, self.dropout, dtype=self.dtype, name="cross_attn"
+            self.dim, self.n_head, self.dropout, sow_weights=self.sow_attn,
+            dtype=self.dtype, name="cross_attn",
         )(
             tgt if query_pos is None else tgt + query_pos,
             mem,

@@ -27,6 +27,7 @@ class TransformerEncoder(nn.Module):
     n_layers: int
     ffn_dim: int
     dropout: float = 0.1
+    sow_attn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -35,7 +36,7 @@ class TransformerEncoder(nn.Module):
         for i in range(self.n_layers):
             out = EncoderLayer(
                 self.dim, self.n_head, self.ffn_dim, self.dropout,
-                dtype=self.dtype, name=f"layer{i}",
+                sow_attn=self.sow_attn, dtype=self.dtype, name=f"layer{i}",
             )(out, pos, key_padding_mask, deterministic)
         return out
 
@@ -49,6 +50,7 @@ class TransformerDecoder(nn.Module):
     n_layers: int
     ffn_dim: int
     dropout: float = 0.1
+    sow_attn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -58,7 +60,7 @@ class TransformerDecoder(nn.Module):
         for i in range(self.n_layers):
             out = DecoderLayer(
                 self.dim, self.n_head, self.ffn_dim, self.dropout,
-                dtype=self.dtype, name=f"layer{i}",
+                sow_attn=self.sow_attn, dtype=self.dtype, name=f"layer{i}",
             )(out, memory, pos, query_pos, memory_key_padding_mask, deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
 
@@ -81,6 +83,7 @@ class FUTRTransformer(nn.Module):
     use_encoder: bool = False
     n_query: int = 8
     max_pos_len: int = 2000
+    sow_attn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -95,7 +98,8 @@ class FUTRTransformer(nn.Module):
         if self.use_encoder:
             memory = TransformerEncoder(
                 self.dim, self.n_head, self.n_encoder_layers, self.ffn_dim,
-                self.dropout, dtype=self.dtype, name="encoder",
+                self.dropout, sow_attn=self.sow_attn, dtype=self.dtype,
+                name="encoder",
             )(src, pos, src_key_padding_mask, deterministic)
         else:
             memory = src  # reference behavior (transformer.py:78)
@@ -116,6 +120,7 @@ class FUTRTransformer(nn.Module):
         tgt = jnp.zeros_like(query_pos)
         hs = TransformerDecoder(
             self.dim, self.n_head, self.n_decoder_layers, self.ffn_dim,
-            self.dropout, dtype=self.dtype, name="decoder",
+            self.dropout, sow_attn=self.sow_attn, dtype=self.dtype,
+            name="decoder",
         )(tgt, memory, pos, query_pos, src_key_padding_mask, deterministic)
         return memory, hs

@@ -1,0 +1,72 @@
+"""BucketedLoader / pad_batch unit tests."""
+
+import numpy as np
+
+from r3d_tpu.data.pipeline import BucketedLoader, bucket_length, pad_batch
+from r3d_tpu.data.protocol import Example
+
+
+def _ex(s, c=4, nq=4):
+    return Example(
+        features=np.ones((s, c), np.float32),
+        past_label=np.arange(s, dtype=np.int64),
+        trans_future_target=np.arange(nq, dtype=np.int64),
+        trans_future_dur=np.ones(nq, np.float32),
+    )
+
+
+def test_bucket_length():
+    assert bucket_length(10, (16, 32)) == 16
+    assert bucket_length(16, (16, 32)) == 16
+    assert bucket_length(17, (16, 32)) == 32
+    assert bucket_length(100, (16, 32)) == 32  # truncating ceiling
+
+
+def test_pad_batch_shapes_and_values():
+    batch = pad_batch([_ex(5), _ex(9)], pad_idx=77, buckets=(16,), n_query=4)
+    assert batch["features"].shape == (2, 16, 4)
+    assert np.all(batch["features"][0, 5:] == 0)
+    assert np.all(batch["past_label"][0, 5:] == 77)
+    assert np.all(batch["past_label"][1, :9] == np.arange(9))
+
+
+def test_pad_batch_truncates_over_bucket():
+    batch = pad_batch([_ex(40)], pad_idx=77, buckets=(16,), n_query=4)
+    assert batch["features"].shape == (1, 16, 4)
+    assert np.all(batch["past_label"][0] == np.arange(16))
+
+
+def test_loader_epoch_coverage_and_drop_remainder():
+    made = []
+
+    def fn(i):
+        made.append(i)
+        return _ex(6 + (i % 3))
+
+    loader = BucketedLoader(
+        num_examples=10, make_example_fn=fn, batch_size=4, pad_idx=9,
+        buckets=(16,), n_query=4, shuffle=True, seed=1, drop_remainder=True,
+    )
+    assert len(loader) == 2
+    batches = list(loader)
+    assert len(batches) == 2 and all(b["features"].shape[0] == 4 for b in batches)
+    assert len(set(made)) == 8  # two full batches, no duplicates
+
+    loader2 = BucketedLoader(
+        num_examples=10, make_example_fn=fn, batch_size=4, pad_idx=9,
+        buckets=(16,), n_query=4, shuffle=False,
+    )
+    batches = list(loader2)
+    assert [b["features"].shape[0] for b in batches] == [4, 4, 2]
+
+
+def test_loader_length_grouping():
+    lengths = [30, 5, 30, 5, 30, 5]
+    loader = BucketedLoader(
+        num_examples=6, make_example_fn=lambda i: _ex(lengths[i]),
+        batch_size=2, pad_idx=9, buckets=(8, 32), n_query=4,
+        shuffle=True, seed=0, example_lengths=lengths,
+    )
+    shapes = [b["features"].shape[1] for b in loader]
+    # grouping by bucket: the three short examples batch together
+    assert sorted(shapes) == [8, 32, 32]

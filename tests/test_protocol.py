@@ -119,3 +119,32 @@ def test_mapping_reader(tmp_path):
     p.write_text("0 walk\n1 run\n2 sit\n")
     d = read_mapping_dict(str(p))
     assert d == {"walk": 0, "run": 1, "sit": 2}
+
+
+def test_indices_to_transcript_matches_string_version(actions_dict):
+    from r3d_tpu.data.protocol import indices_to_transcript
+
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        seq = []
+        while len(seq) < 30:
+            seq += [f"act{rng.randint(10)}"] * rng.randint(1, 6)
+        seq = seq[:30]
+        a1, d1 = labels_to_transcript(seq, actions_dict)
+        a2, d2 = indices_to_transcript(labels_to_indices(seq, actions_dict))
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_allclose(d1, d2)
+
+
+def test_make_example_edge_cases(actions_dict):
+    rng = np.random.RandomState(4)
+    labels, feats = _synthetic_video(rng, 10, 100)
+    # obs close to 1.0: tiny future window still yields a transcript
+    ex = make_example(feats, labels, actions_dict, 0.95, 1, 8, 99, 11)
+    assert len(ex.trans_future_target) == 8
+    # heavy subsampling shorter than one run
+    ex = make_example(feats, labels, actions_dict, 0.5, 25, 8, 99, 11)
+    assert ex.features.shape[0] == ex.past_label.shape[0] >= 1
+    # single-frame future window
+    ex = make_example(feats, labels, actions_dict, 0.98, 1, 8, 99, 11)
+    assert np.isfinite(ex.trans_future_dur[:2]).all()
