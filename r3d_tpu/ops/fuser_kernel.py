@@ -296,6 +296,10 @@ def _fwd(r, d, params, outer_residual):
 
 def _bwd(outer_residual, res, g):
     r, d, params = res
+    from r3d_tpu.ops.fuser_kernel_bwd import pallas_bwd_enabled, pallas_tail_bwd
+
+    if pallas_bwd_enabled():
+        return pallas_tail_bwd(r, d, g, params, outer_residual)
     _, vjp = jax.vjp(
         lambda r_, d_, p_: composed_tail(r_, d_, p_, outer_residual), r, d, params
     )

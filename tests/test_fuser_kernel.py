@@ -151,3 +151,57 @@ def test_cmfuser_bn_fully_fused_matches_composed():
     g_k = jax.grad(loss(kernelized, True))(variables["params"])
     for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_c)):
         np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-3, rtol=2e-3)
+
+
+def test_pallas_backward_kernel_matches_autodiff():
+    """Hand-written backward kernel == jax.vjp of the composed math."""
+    from r3d_tpu.ops.fuser_kernel import composed_tail
+    from r3d_tpu.ops.fuser_kernel_bwd import pallas_tail_bwd
+
+    rng = np.random.RandomState(11)
+    for outer in (False, True):
+        N, C = 300, 64   # non-tile-multiple rows exercise padding
+        params = make_params(rng, C)
+        r = jnp.array(rng.randn(N, C).astype(np.float32))
+        d = jnp.array(rng.randn(N, C).astype(np.float32))
+        g = jnp.array(rng.randn(N, C).astype(np.float32))
+
+        _, vjp = jax.vjp(
+            lambda r_, d_, p_: composed_tail(r_, d_, p_, outer), r, d, params
+        )
+        ref_dr, ref_dd, ref_dp = vjp(g)
+        dr, dd, dp = pallas_tail_bwd(r, d, g, params, outer)
+
+        np.testing.assert_allclose(np.array(dr), np.array(ref_dr),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.array(dd), np.array(ref_dd),
+                                   atol=2e-4, rtol=1e-4)
+        for name, a, b in zip(ref_dp._fields, dp, ref_dp):
+            scale = max(float(np.abs(np.array(b)).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.array(a), np.array(b), atol=3e-4 * scale, rtol=2e-3,
+                err_msg=f"param grad mismatch: {name} (outer={outer})",
+            )
+
+
+def test_end_to_end_with_pallas_backward():
+    """Full train-style grad through fused_safuser_tail with the kernelized
+    backward enabled equals the remat backward."""
+    from r3d_tpu.ops.fuser_kernel import fused_safuser_tail
+
+    rng = np.random.RandomState(12)
+    params = make_params(rng, 64)
+    r = jnp.array(rng.randn(256, 64).astype(np.float32))
+    d = jnp.array(rng.randn(256, 64).astype(np.float32))
+
+    def loss(r_, d_, p_):
+        return jnp.sum(fused_safuser_tail(r_, d_, p_, False) ** 2)
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(r, d, params)
+    os.environ["R3D_PALLAS_BWD"] = "1"
+    try:
+        g_k = jax.grad(loss, argnums=(0, 1, 2))(r, d, params)
+    finally:
+        del os.environ["R3D_PALLAS_BWD"]
+    for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3, rtol=2e-3)
