@@ -56,6 +56,9 @@ class DataConfig:
     # NTU normalizes the whole depth stack to [0,255] uint8 at load
     # (basedataset_nturgbd.py:42-52)
     normalize_depth: bool = False
+    # gaze modality (basedataset_darai_gaze.py:95-186): per-video gaze CSVs
+    # under this dir become the [S, 2] query stream
+    gaze_dir: Optional[str] = None
 
 
 @dataclass(frozen=True)

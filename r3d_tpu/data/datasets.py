@@ -117,6 +117,16 @@ class VideoSource:
             query_idx = np.array(
                 [self.query_dict[q.replace(" ", "")] for q in l3], np.int64
             )
+        if self.cfg.gaze_dir is not None:
+            # gaze CSV -> normalized [S, 2] float query stream
+            # (basedataset_darai_gaze.py:169-186)
+            from r3d_tpu.data.preprocess.tools import gaze_csv_to_query
+
+            gaze_path = os.path.join(
+                _dataset_dir(self.cfg), self.cfg.gaze_dir,
+                vid_file.split(".")[0] + ".csv",
+            )
+            query_idx = gaze_csv_to_query(gaze_path, len(labels))
         meta = {
             "labels": labels, "label_idx": label_idx, "images": images,
             "l3": l3, "query_idx": query_idx,
@@ -248,7 +258,7 @@ def build_loader(
         buckets=cfg.seq_buckets,
         n_query=n_query,
         with_depth=source.depth_path is not None,
-        with_query=source.query_dict is not None,
+        with_query=source.query_dict is not None or cfg.gaze_dir is not None,
         shuffle=shuffle,
         seed=seed,
         drop_remainder=drop_remainder,

@@ -62,7 +62,12 @@ def pad_batch(
         depth = np.zeros((B, S) + d_feat.shape[1:], dtype=np.float32)
     query = None
     if with_query:
-        query = np.full((B, S), pad_idx, dtype=np.int32)
+        q0 = examples[0].query_label
+        if q0.ndim > 1 or np.issubdtype(q0.dtype, np.floating):
+            # continuous query stream (gaze [S, 2]): zero-pad
+            query = np.zeros((B, S) + q0.shape[1:], dtype=np.float32)
+        else:
+            query = np.full((B, S), pad_idx, dtype=np.int32)
 
     for i, e in enumerate(examples):
         s = min(e.features.shape[0], S)

@@ -147,3 +147,66 @@ def test_normalize_depth_load(disk_dataset):
     v = src.load_video(src.vid_list[0])
     assert v["depth"].dtype == np.uint8
     assert v["depth"].min() == 0 and v["depth"].max() == 255
+
+
+def test_gaze_modality_end_to_end(tmp_path):
+    """Gaze CSVs -> [S,2] query stream -> futr_gaze train step."""
+    import dataclasses
+    import jax
+
+    from r3d_tpu.config import get_config, ModelConfig, TrainConfig
+    from r3d_tpu.train.loop import Trainer
+
+    root = tmp_path / "darai"
+    rng = np.random.RandomState(0)
+    acts = [f"g{i}" for i in range(4)]
+    for d in ["features_img", "groundTruth", "splits", "gaze"]:
+        os.makedirs(root / d, exist_ok=True)
+    (root / "mapping_l2_changed.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(acts))
+    )
+    vids = []
+    for v in range(4):
+        L = 40
+        labels = [acts[int(x)] for x in (np.arange(L) // 11) % 4]
+        np.save(root / "features_img" / f"v{v}.npy",
+                rng.randn(L, 12).astype(np.float32))
+        with open(root / "groundTruth" / f"v{v}.txt", "w") as f:
+            for t, l in enumerate(labels):
+                f.write(f"img{t},{l},q0\n")
+        with open(root / "gaze" / f"v{v}.csv", "w") as f:
+            f.write("gaze_x,gaze_y\n")
+            for t in range(L):
+                f.write(f"{rng.rand() * 100},{rng.rand() * 50}\n")
+        vids.append(f"v{v}.txt")
+    (root / "splits" / "train_split.txt").write_text("\n".join(vids) + "\n")
+
+    cfg = DataConfig(
+        dataset="darai", data_root=str(tmp_path), seq_buckets=(64,),
+        depth_features_dir=None, gaze_dir="gaze", train_obs_percs=(0.3, 0.5),
+    )
+    src = build_source(cfg, "train_split.txt")
+    meta = src.load_meta("v0.txt")
+    assert meta["query_idx"].shape == (40, 2)
+    assert meta["query_idx"].max() <= 1.0
+
+    loader = build_loader(src, cfg, batch_size=4, n_query=8, mode="train",
+                          shuffle=False)
+    batch = next(iter(loader))
+    assert batch["query_label"].shape == (4, 64, 2)
+    assert batch["query_label"].dtype == np.float32
+
+    config = get_config("synthetic").replace(
+        data=cfg,
+        model=ModelConfig(model="futr_gaze", hidden_dim=16, n_head=2,
+                          n_encoder_layers=1, n_decoder_layers=1, n_query=8,
+                          input_dim=12, max_pos_len=64,
+                          compute_dtype="float32"),
+        train=TrainConfig(loop="futr", batch_size=4, min_train_batch=0,
+                          epochs=1),
+    )
+    trainer = Trainer(config, src.n_class)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, steps_per_epoch=1)
+    step = trainer.make_train_step()
+    state, metrics = step(state, batch, jax.random.PRNGKey(1), 0)
+    assert np.isfinite(float(metrics["loss"]))
