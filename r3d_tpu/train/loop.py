@@ -285,14 +285,9 @@ class Trainer:
         eval_step = self.make_eval_step()
         rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_epoch)
 
-        best_val_acc = 0.0
-        best_weight_acc = 0.0
-        for epoch in range(start_epoch, cfg.epochs):
-            t0 = time.time()
-            agg: Dict[str, float] = {}
-            n_batches = 0
-            n_clips = 0
-            for batch in train_loader:
+        def host_batches(loader):
+            """min-batch filter + host-side extras (seg_ids)."""
+            for batch in loader:
                 if batch["features"].shape[0] < cfg.min_train_batch:
                     continue  # BN guard (train_proposed_depth.py:148)
                 if self.config.train.loop == "unsupervised":
@@ -300,15 +295,52 @@ class Trainer:
 
                     batch = dict(batch)
                     batch["seg_ids"] = segment_ids_from_labels(
-                        batch["query_label"], None, self.config.train.max_segments
+                        batch["query_label"], None,
+                        self.config.train.max_segments,
                     )
+                yield batch
+
+        def device_prefetch(gen):
+            """Land the NEXT batch on device while the current step runs —
+            overlaps H2D with compute (the reference's DataLoader only
+            overlaps host work)."""
+            sharding = None
+            if self.mesh is not None:
+                from r3d_tpu.parallel.mesh import batch_sharding
+
+                sharding = batch_sharding(self.mesh)
+            put = (
+                (lambda x: jax.device_put(x, sharding))
+                if sharding is not None
+                else jnp.asarray
+            )
+            prev = None
+            for batch in gen:
+                nxt = {k: put(v) for k, v in batch.items()}
+                if prev is not None:
+                    yield prev
+                prev = nxt
+            if prev is not None:
+                yield prev
+
+        best_val_acc = 0.0
+        best_weight_acc = 0.0
+        for epoch in range(start_epoch, cfg.epochs):
+            t0 = time.time()
+            # metrics accumulate ON DEVICE: float() per step would block the
+            # async dispatch pipeline (one host sync per epoch instead)
+            agg_dev: Dict[str, jnp.ndarray] = {}
+            n_batches = 0
+            n_clips = 0
+            for batch in device_prefetch(host_batches(train_loader)):
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(state, batch, step_rng, epoch)
                 n_batches += 1
                 n_clips += batch["features"].shape[0]
                 for k, v in metrics.items():
-                    agg[k] = agg.get(k, 0.0) + float(v)
+                    agg_dev[k] = agg_dev.get(k, 0.0) + v
 
+            agg = {k: float(v) for k, v in agg_dev.items()}  # one sync
             dt = time.time() - t0
             loss = agg.get("loss", 0.0) / max(n_batches, 1)
             acc = agg.get("cls_correct", 0.0) / max(agg.get("cls_total", 0.0), 1.0)
