@@ -129,6 +129,13 @@ class TrainConfig:
     l3_pad_idx: Optional[int] = None
     l3_exclude_idx: Optional[int] = None
     max_segments: int = 32              # static cap for the cluster losses
+    # optional supervised-contrastive term over the supcon stream, the
+    # reference's commented "soft label loss" (train_unsupervised.py:314-319),
+    # ramped by min(1, epoch/peak). 0.0 disables. Frames subsample to
+    # supcon_samples: the full B*T x B*T similarity matrix is quadratic.
+    supcon_weight: float = 0.0
+    supcon_samples: int = 512
+    supcon_temperature: float = 0.07    # opts.py:106
 
 
 @dataclass(frozen=True)

@@ -193,6 +193,32 @@ class Trainer:
                 total = loss_l3 + loss_seg + loss_cls
             metrics.update(loss_l3=loss_l3, l3_correct=l3_nc, l3_total=l3_nw)
 
+            if train and tr.supcon_weight > 0.0 and "supcon" in outputs:
+                # commented "soft label loss" (train_unsupervised.py:314-319):
+                # SupCon over per-frame embeddings vs L3 labels, ramped over
+                # the warmup peak; frames subsample (quadratic similarity)
+                from r3d_tpu.losses import supcon_loss
+
+                feats = outputs["supcon"].reshape(-1, outputs["supcon"].shape[-1])
+                # SupCon is defined on the unit hypersphere; unnormalized
+                # embeddings at tau=0.07 underflow exp() to all-zero rows
+                # (0 * -inf = NaN) — the reference's commented call would
+                # have hit the same
+                feats = feats / jnp.maximum(
+                    jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-6
+                )
+                labels_sc = batch["query_label"].reshape(-1)
+                n_take = min(tr.supcon_samples, feats.shape[0])
+                loss_sc = supcon_loss(
+                    feats[:n_take, None, :], labels_sc[:n_take],
+                    temperature=tr.supcon_temperature,
+                )
+                ramp = jnp.minimum(
+                    1.0, jnp.asarray(epoch, jnp.float32) / max(tr.warmup_loss_epochs[0], 1)
+                )
+                total = total + tr.supcon_weight * ramp * loss_sc
+                metrics.update(loss_supcon2=loss_sc)
+
         if "fused" in outputs and (cfg.model.erank_weight > 0.0 or cfg.model.log_erank):
             valid = (past_label != pad).astype(jnp.float32)
             if cfg.model.erank_weight > 0.0:
@@ -350,13 +376,14 @@ class Trainer:
             )
 
             # validation (per epoch, as every reference loop does)
-            vagg: Dict[str, float] = {}
+            vagg_dev: Dict[str, jnp.ndarray] = {}
             vb = 0
-            for batch in val_loader:
+            for batch in device_prefetch(iter(val_loader)):
                 metrics = eval_step(state, batch)
                 vb += 1
                 for k, v in metrics.items():
-                    vagg[k] = vagg.get(k, 0.0) + float(v)
+                    vagg_dev[k] = vagg_dev.get(k, 0.0) + v
+            vagg = {k: float(v) for k, v in vagg_dev.items()}
             val_acc = vagg.get("cls_correct", 0.0) / max(vagg.get("cls_total", 0.0), 1.0)
             val_loss = vagg.get("loss", 0.0) / max(vb, 1)
             # uniform-weight val "weighted accuracy" — see losses docstring

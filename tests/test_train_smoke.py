@@ -134,3 +134,39 @@ def test_train_smoke_unsupervised():
     ev = trainer.make_eval_step()
     m = ev(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_unsupervised_with_supcon_term():
+    import dataclasses
+    from r3d_tpu.losses.temporal import segment_ids_from_labels
+
+    src = SyntheticSource(
+        n_videos=8, n_actions=5, vid_len_range=(60, 100), input_dim=32,
+        n_query_classes=12, seed=0,
+    )
+    cfg = get_config("synthetic").replace(
+        model=ModelConfig(
+            model="futr_unsupervised", hidden_dim=32, n_head=4,
+            n_encoder_layers=1, n_decoder_layers=1, n_query=8, input_dim=32,
+            max_pos_len=128, compute_dtype="float32", query_num=12,
+        ),
+        train=TrainConfig(
+            loop="unsupervised", batch_size=8, epochs=1, warmup_epochs=1,
+            min_train_batch=0, l3_pad_idx=10, l3_exclude_idx=11,
+            max_segments=32, supcon_weight=0.1, supcon_samples=128,
+        ),
+        data=DataConfig(dataset="synthetic", seq_buckets=(128,)),
+    )
+    fn, n = src.make_example_fn(obs_percs=(0.3,), sample_rate=1, n_query=8)
+    loader = BucketedLoader(
+        num_examples=n, make_example_fn=fn, batch_size=8, pad_idx=src.pad_idx,
+        buckets=(128,), n_query=8, with_query=True, seed=0,
+    )
+    trainer = Trainer(cfg, src.n_class)
+    batch = dict(next(iter(loader)))
+    batch["seg_ids"] = segment_ids_from_labels(batch["query_label"], None, 32)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, steps_per_epoch=1)
+    step = trainer.make_train_step()
+    state, metrics = step(state, batch, jax.random.PRNGKey(1), 20)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "loss_supcon2" in metrics
