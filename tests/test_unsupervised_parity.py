@@ -1,0 +1,85 @@
+"""L3-query family parity: the pre-decoder query stream and fc_l3 logits of
+futr_unsupervised must match the reference forward exactly (the decoder-side
+outputs intentionally diverge — COMPAT #18 pools queries to n_query where the
+reference's S-query path is unrunnable)."""
+
+import numpy as np
+import pytest
+
+from conftest import reference_on_path
+
+HAS_REF = reference_on_path()
+pytestmark = pytest.mark.skipif(not HAS_REF, reason="reference not mounted")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from r3d_tpu.config import ModelConfig  # noqa: E402
+from r3d_tpu.models.futr_unsupervised import FUTRUnsupervised  # noqa: E402
+
+if HAS_REF:
+    import torch
+    import torch_ref
+
+    torch_ref.patch_cuda_free()
+
+N_CLASS = 10
+PAD_IDX = N_CLASS + 1
+QUERY_NUM = 12
+
+
+def test_l3_stream_parity_eval():
+    from model.futr_unsupervised import FUTR as RefUnsup
+
+    cfg = ModelConfig(
+        model="futr_unsupervised", hidden_dim=32, n_head=4,
+        n_encoder_layers=1, n_decoder_layers=1, n_query=8, input_dim=16,
+        max_pos_len=64, compute_dtype="float32", query_num=QUERY_NUM,
+        dropout=0.0,
+    )
+    args = torch_ref.RefArgs(input_dim=16, max_pos_len=64)
+    torch.manual_seed(0)
+    ref = RefUnsup(
+        N_CLASS, 32, PAD_IDX, torch.device("cpu"), args, n_query=8, n_head=4,
+        num_encoder_layers=1, num_decoder_layers=1, query_num=QUERY_NUM,
+    )
+    ref.eval()
+    torch_ref.zero_dropout(ref)
+
+    rng = np.random.RandomState(0)
+    B, S = 3, 20
+    x = rng.randn(B, S, 16).astype(np.float32)
+    with torch.no_grad():
+        # the reference embeds `query` then overwrites the result with the
+        # self-attention queries (futr_unsupervised.py:113,128) — it still
+        # requires a tensor, so pass a discarded dummy
+        dummy_q = torch.zeros(B, S, dtype=torch.long)
+        ref_out = ref(torch.tensor(x), dummy_q, mode="test")
+
+    ours = FUTRUnsupervised(cfg, N_CLASS, query_source="self_attention",
+                            attend_over_batch=True)
+    p = {"embed": {}, "heads": {}}
+    torch_ref.linear(p["embed"], "input_embed", ref.input_embed)
+    p["pos_embedding"] = torch_ref.t2n(ref.pos_embedding)
+    p["transformer"] = torch_ref.transformer_params(ref.transformer)
+    torch_ref.linear(p["heads"], "fc", ref.fc)
+    torch_ref.linear(p["heads"], "fc_len", ref.fc_len)
+    torch_ref.linear(p["heads"], "fc_seg", ref.fc_seg)
+    p["l3_attention"] = {}
+    torch_ref.mha(p, "l3_attention", ref.l3_attention)
+    torch_ref.linear(p, "fc_l3", ref.fc_l3)
+    params = jax.tree.map(jnp.asarray, p)
+
+    out = ours.apply({"params": params}, jnp.array(x), train=False)
+
+    # the pre-decoder stream heads must match exactly
+    np.testing.assert_allclose(
+        np.array(out["l3"]), ref_out["l3"].numpy(), atol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.array(out["supcon"]), ref_out["supcon"].numpy(), atol=3e-4
+    )
+    # seg also rides the undecoded memory stream -> comparable
+    np.testing.assert_allclose(
+        np.array(out["seg"]), ref_out["seg"].numpy(), atol=3e-4
+    )
