@@ -200,3 +200,33 @@ def test_two_token_exact_equals_general():
     out_e = exact.apply({"params": params}, x)
     out_g = general.apply({"params": params}, x)
     np.testing.assert_allclose(np.array(out_e), np.array(out_g), atol=1e-5)
+
+
+def test_grad_probe_fuser_eval_parity():
+    """CMFuserGrad (tokenfusion variant) eval forward vs the reference:
+    activation-magnitude ranking, hard channel swap, outer residual."""
+    from model.futr_safuser_tokenfusion import CMFuser as RefGradFuser
+
+    from r3d_tpu.models.fuser import CMFuserGrad
+
+    C = 64
+    torch.manual_seed(3)
+    ref = RefGradFuser(dim=C, depth=1, num_heads=4)
+    ref.eval()
+    torch_ref.zero_dropout(ref)
+
+    rng = np.random.RandomState(6)
+    rgb = rng.randn(4, 18, C).astype(np.float32)
+    depth = rng.randn(4, 18, C).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref({"rgb": torch.tensor(rgb), "depth": torch.tensor(depth)},
+                      "test")
+
+    ours = CMFuserGrad(C, depth=1, n_head=4, drop_rate=0.0)
+    safuser = {"block0": torch_ref.fuser_block_params(ref.blocks[0]),
+               "norm_scale": torch_ref.t2n(ref.norm.weight),
+               "norm_bias": torch_ref.t2n(ref.norm.bias)}
+    params = jax.tree.map(jnp.asarray, {"safuser": safuser})
+    out = ours.apply({"params": params}, jnp.array(rgb), jnp.array(depth),
+                     train=False)
+    np.testing.assert_allclose(np.array(out), ref_out.numpy(), atol=2e-4)
