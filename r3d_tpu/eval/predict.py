@@ -65,6 +65,12 @@ class Predictor:
         self.model = model
         self.n_class = n_class
         self.eval_batch = eval_batch
+        # query-conditioned family (reference predict_with_query/predict.py:74:
+        # model(inputs, query, mode='test'))
+        self.needs_query = config.model.model in (
+            "futr_unsupervised", "futr_proposed", "futr_gaze",
+            "futr_unsupervised_depth",
+        )
         self._jit_forward = jax.jit(
             lambda variables, *args: model.apply(variables, *args, train=False)
         )
@@ -93,6 +99,8 @@ class Predictor:
             }
             if "depth" in v:
                 item["depth"] = v["depth"][:past_len][::sample_rate]
+            if self.needs_query and v.get("query_idx") is not None:
+                item["query"] = v["query_idx"][:past_len][::sample_rate]
             groups[S].append(item)
         return groups
 
@@ -109,6 +117,13 @@ class Predictor:
         depth = None
         if "depth" in items[0]:
             depth = np.zeros((B, S) + items[0]["depth"].shape[1:], np.float32)
+        query = None
+        if self.needs_query and "query" in items[0]:
+            q0 = items[0]["query"]
+            if q0.ndim > 1 or np.issubdtype(q0.dtype, np.floating):
+                query = np.zeros((B, S) + q0.shape[1:], np.float32)
+            else:
+                query = np.zeros((B, S), np.int32)
         for i, it in enumerate(items):
             r = it["real_s"]
             feats[i, :r] = it["feats"]
@@ -116,9 +131,13 @@ class Predictor:
             mask[i, r:] = True
             if depth is not None:
                 depth[i, :r] = it["depth"]
+            if query is not None:
+                query[i, :r] = it["query"][:r]
         args = [jnp.asarray(feats)]
         if depth is not None:
             args.append(jnp.asarray(depth))
+        elif self.needs_query:
+            args.append(jnp.asarray(query) if query is not None else None)
         args.append(jnp.asarray(mask))
         outputs = self._jit_forward(variables, *args)
         return {k: np.array(v[:n], np.float32) for k, v in outputs.items()}

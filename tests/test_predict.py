@@ -90,3 +90,39 @@ def test_predict_with_gifs(setup, tmp_path):
 
     gifs = [f for f in os.listdir(tmp_path) if f.endswith(".gif")]
     assert len(gifs) == len(source.vid_list)
+
+
+def test_predict_query_conditioned_model(disk_dataset, tmp_path):
+    """futr_proposed (gt-query conditioning) through the MoC sweep
+    (reference predict_with_query / predict.py:74 protocol)."""
+    import dataclasses
+    import os
+
+    # the csv gt carries q0..q2 L3 labels; add their mapping
+    root = os.path.join(disk_dataset, "utkinect")
+    with open(os.path.join(root, "mapping_l3.txt"), "w") as f:
+        f.write("0 q0\n1 q1\n2 q2\n")
+
+    data_cfg = dataclasses.replace(
+        make_cfg(disk_dataset), query_mapping_file="mapping_l3.txt",
+        depth_features_dir=None,
+    )
+    cfg = get_config("utkinects").replace(
+        data=data_cfg,
+        model=dataclasses.replace(
+            small_model_cfg(), model="futr_proposed", query_num=3,
+        ),
+        train=TrainConfig(loop="futr", min_train_batch=0),
+    )
+    source = build_source(cfg.data, "train_split.txt")
+    model = build_model(cfg.model, source.n_class)
+    v = source.load_video(source.vid_list[0])
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(v["features"][None], jnp.float32),
+        jnp.asarray(v["query_idx"][None]),
+        None, train=False,
+    )
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    res = predictor.predict(variables, source, obs_p=0.3, log=lambda *a: None)
+    assert "obs30_pred50" in res and 0.0 <= res["obs30_pred50"] <= 1.0
