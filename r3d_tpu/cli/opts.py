@@ -22,6 +22,14 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
     p.add_argument("--dataset", type=str, default=None)
     p.add_argument("--predict", "-p", action="store_true")
     p.add_argument("--data_root", default=None)
+    # reference-style explicit path flags (opts.py:31-38). Paths are taken
+    # relative to the dataset dir when not absolute.
+    p.add_argument("--mapping_file", default=None)
+    p.add_argument("--features_path", default=None)
+    p.add_argument("--gt_path", default=None)
+    p.add_argument("--file_path", default=None, help="splits dir (opts.py:35)")
+    p.add_argument("--model_save_path", default=None)
+    p.add_argument("--results_save_path", default=None)
     p.add_argument("--split", default=None)
     p.add_argument("--task", type=str, default="long")
     p.add_argument("--dataset_ops", type=str, default="",
@@ -69,6 +77,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
     data_over = {}
     for field, arg in [
         ("data_root", "data_root"), ("split", "split"), ("sample_rate", "sample_rate"),
+        ("mapping_file", "mapping_file"), ("features_dir", "features_path"),
+        ("gt_dir", "gt_path"), ("splits_dir", "file_path"),
     ]:
         v = getattr(args, arg)
         if v is not None:
@@ -96,6 +106,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
             train_over[field] = v
     if args.seed is not None:
         train_over["seeds"] = (args.seed,)
+    if args.model_save_path is not None:
+        train_over["save_dir"] = args.model_save_path
 
     return cfg.replace(
         data=dataclasses.replace(cfg.data, **data_over),
