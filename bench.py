@@ -63,27 +63,32 @@ def main():
     # dev environment adds multi-hundred-us jitter between runs).
     # NOTE: the step donates state; keep the chain.
     state, m = step(state, batch, rng, 0)  # compile
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # value fetch: under the axon tunnel block_until_ready
+    # can return before execution; fetching a scalar forces the whole chain
     n_steps = 20
     train_sec = float("inf")
     for rep in range(3):
         t0 = time.time()
         for i in range(n_steps):
             state, m = step(state, batch, jax.random.fold_in(rng, i), 0)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # forces the whole donated-state chain
         train_sec = min(train_sec, (time.time() - t0) / n_steps)
     train_cps = B / train_sec
 
     # inference throughput (no erank analysis metric in the serving path)
     eval_step = trainer.make_eval_step()
     m = eval_step(state, batch)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     infer_sec = float("inf")
     for rep in range(3):
         t0 = time.time()
+        # chain through a scalar accumulator: forces every call to execute
+        # while letting dispatch pipeline (independent calls + one ready-check
+        # would let the tunnel elide work entirely)
+        acc = jnp.zeros(())
         for _ in range(n_steps):
-            m = eval_step(state, batch)
-        jax.block_until_ready(m["loss"])
+            acc = acc + eval_step(state, batch)["loss"]
+        float(acc)
         infer_sec = min(infer_sec, (time.time() - t0) / n_steps)
     infer_cps = B / infer_sec
 

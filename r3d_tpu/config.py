@@ -176,11 +176,12 @@ def _cfg(**kw) -> Config:
 
 # One named config per reference entry point (BASELINE.md "configs to cover").
 CONFIGS = {
-    # FUTR baseline on 50salads (main.py + scripts/50s_train.sh:1-5)
+    # FUTR baseline on 50salads (main.py:68 uses mapping_l2.txt +
+    # scripts/50s_train.sh:1-5 hyperparams)
     "50salads": _cfg(
         name="50salads",
         data=DataConfig(
-            dataset="50salads", mapping_file="mapping_l1.txt", features_dir="features",
+            dataset="50salads", mapping_file="mapping_l2.txt", features_dir="features",
             train_split="train.split{split}.bundle", val_split="test.split{split}.bundle",
             depth_features_dir=None, gt_format="plain", sample_rate=6,
             features_transposed=True,
