@@ -249,6 +249,11 @@ class Trainer:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng, epoch):
+            # derive the per-step dropout key INSIDE the jitted step: the
+            # caller passes one base key per epoch instead of host-splitting
+            # every step (each host-side split is an extra dispatch)
+            step_rng = jax.random.fold_in(rng, state.step)
+
             def loss_fn(params):
                 variables = {"params": params, "batch_stats": state.batch_stats}
                 mask = batch["past_label"] == self.pad_idx
@@ -260,7 +265,7 @@ class Trainer:
                     args = (batch["features"], mask)
                 outputs, mutated = model.apply(
                     variables, *args, train=True,
-                    rngs={"dropout": rng}, mutable=["batch_stats"],
+                    rngs={"dropout": step_rng}, mutable=["batch_stats"],
                 )
                 total, metrics = self._losses(outputs, batch, epoch, train=True)
                 return total, (metrics, mutated.get("batch_stats", {}))
@@ -358,9 +363,9 @@ class Trainer:
             agg_dev: Dict[str, jnp.ndarray] = {}
             n_batches = 0
             n_clips = 0
+            epoch_rng = jax.random.fold_in(rng, epoch)
             for batch in device_prefetch(host_batches(train_loader)):
-                rng, step_rng = jax.random.split(rng)
-                state, metrics = train_step(state, batch, step_rng, epoch)
+                state, metrics = train_step(state, batch, epoch_rng, epoch)
                 n_batches += 1
                 n_clips += batch["features"].shape[0]
                 for k, v in metrics.items():
