@@ -120,6 +120,12 @@ def run_from_argv(default_config: str, argv=None):
     from r3d_tpu.cli.run import main
 
     args = build_parser(default_config).parse_args(argv)
+    if args.cpu:
+        # env JAX_PLATFORMS is baked in by sitecustomize before main() runs;
+        # the config update still lands because backends initialize lazily
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     config = config_from_args(args)
     mode = "predict" if args.predict else args.mode
     return main(config, mode=mode, dataset_ops=args.dataset_ops,

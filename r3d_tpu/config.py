@@ -59,6 +59,19 @@ class DataConfig:
     # gaze modality (basedataset_darai_gaze.py:95-186): per-video gaze CSVs
     # under this dir become the [S, 2] query stream
     gaze_dir: Optional[str] = None
+    # DARai multi-sequence on-disk layout (basedataset_darai_depth.py:44-82):
+    # each split entry is a video whose sequences live as {base}_{seq}.txt /
+    # {base}_{seq}.npy, walked from seq=1 until a file is missing or the gt
+    # has <= sample_rate lines. The depth stream is the single {base}_1.npy
+    # (seq-independent), window-aligned to the gt's image indices
+    # (basedataset_darai_depth.py:105-113).
+    multi_sequence: bool = False
+    # camera->depth directory rewrite applied to depth paths
+    # (basedataset_darai_depth.py:47-50,95-98)
+    depth_dir_rewrite: Tuple[Tuple[str, str], ...] = (
+        ("camera_1_fps_15", "depth_1"),
+        ("camera_2_fps_15", "depth_2"),
+    )
 
 
 @dataclass(frozen=True)
@@ -248,6 +261,9 @@ CONFIGS = {
             # the unsupervised model consumes queries, not raw depth
             query_mapping_file="mapping_l3_changed.txt",
             depth_features_dir=None,
+            # real DARai trees store {base}_{seq}.npy sequence files
+            # (basedataset_darai_depth.py:44-82)
+            multi_sequence=True,
         ),
         model=ModelConfig(model="futr_unsupervised", query_num=48),
         train=TrainConfig(

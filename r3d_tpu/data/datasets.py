@@ -89,19 +89,76 @@ class VideoSource:
         self._cache: Dict[str, Dict] = {}
         self._meta: Dict[str, Dict] = {}
 
-    def _feature_file(self, vid_file: str) -> str:
-        return os.path.join(self.features_path, vid_file.split(".")[0] + ".npy")
+    @staticmethod
+    def _base(vid_file: str) -> str:
+        return os.path.splitext(vid_file)[0]
 
-    def _depth_file(self, vid_file: str) -> str:
-        return os.path.join(self.depth_path, vid_file.split(".")[0] + ".npy")
+    def _gt_file(self, vid_file: str, seq: Optional[int] = None) -> str:
+        if seq is None:
+            return os.path.join(self.gt_path, vid_file)
+        return os.path.join(self.gt_path, f"{self._base(vid_file)}_{seq}.txt")
 
-    def load_meta(self, vid: str) -> Dict:
+    def _feature_file(self, vid_file: str, seq: Optional[int] = None) -> str:
+        base = vid_file.split(".")[0] if seq is None else f"{self._base(vid_file)}_{seq}"
+        return os.path.join(self.features_path, base + ".npy")
+
+    def _depth_file(self, vid_file: str, seq: Optional[int] = None) -> str:
+        if seq is None and not self.cfg.multi_sequence:
+            return os.path.join(self.depth_path, vid_file.split(".")[0] + ".npy")
+        # multi-sequence: the depth stream is always the seq-1 file with the
+        # camera->depth directory rewrite (basedataset_darai_depth.py:46-50)
+        path = os.path.join(self.depth_path, f"{self._base(vid_file)}_1.npy")
+        for old, new in self.cfg.depth_dir_rewrite:
+            if old in path:
+                path = path.replace(old, new)
+                break
+        return path
+
+    def units(self) -> List[Tuple[str, Optional[int]]]:
+        """The (vid, seq) pairs this source serves.
+
+        Flat layouts: one unit per split entry.  Multi-sequence layouts
+        (basedataset_darai_depth.py:44-82): walk {base}_{seq}.txt/.npy from
+        seq=1 until a file is missing or the gt has <= sample_rate lines;
+        a video with no (rewritten) depth file contributes nothing when a
+        depth stream is configured.
+        """
+        if not self.cfg.multi_sequence:
+            return [(v, None) for v in self.vid_list]
+        out: List[Tuple[str, Optional[int]]] = []
+        for vid in self.vid_list:
+            vid_file = vid.split("/")[-1]
+            depth_ok = self.depth_path is None or os.path.exists(
+                self._depth_file(vid_file, seq=1)
+            )
+            if not depth_ok:
+                continue
+            seq = 1
+            while True:
+                gt = self._gt_file(vid_file, seq)
+                feat = self._feature_file(vid_file, seq)
+                if not (os.path.exists(gt) and os.path.exists(feat)):
+                    break
+                with open(gt) as f:
+                    n_lines = len(f.readlines())
+                if n_lines <= self.cfg.sample_rate:
+                    break
+                out.append((vid, seq))
+                seq += 1
+        return out
+
+    @staticmethod
+    def _meta_key(vid_file: str, seq: Optional[int]) -> str:
+        return vid_file if seq is None else f"{vid_file}::{seq}"
+
+    def load_meta(self, vid: str, seq: Optional[int] = None) -> Dict:
         """Parsed labels (int arrays) + paths; tiny, always cached."""
         vid_file = vid.split("/")[-1]
-        if vid_file in self._meta:
-            return self._meta[vid_file]
+        key = self._meta_key(vid_file, seq)
+        if key in self._meta:
+            return self._meta[key]
         labels, images, l3 = read_gt_file(
-            os.path.join(self.gt_path, vid_file), self.cfg.gt_format
+            self._gt_file(vid_file, seq), self.cfg.gt_format
         )
         if self.cfg.l1_relabel:
             # proposed-50salads: L2 gt -> L1 targets, raw L2 rides as query
@@ -131,20 +188,30 @@ class VideoSource:
             "labels": labels, "label_idx": label_idx, "images": images,
             "l3": l3, "query_idx": query_idx,
         }
-        self._meta[vid_file] = meta
+        self._meta[key] = meta
         return meta
 
-    def load_video(self, vid: str) -> Dict:
+    def load_video(self, vid: str, seq: Optional[int] = None) -> Dict:
         vid_file = vid.split("/")[-1]
-        if vid_file in self._cache:
-            return self._cache[vid_file]
-        meta = self.load_meta(vid)
-        feats = np.load(self._feature_file(vid_file))
+        key = self._meta_key(vid_file, seq)
+        if key in self._cache:
+            return self._cache[key]
+        meta = self.load_meta(vid, seq)
+        feats = np.load(self._feature_file(vid_file, seq))
         if self.cfg.features_transposed:
             feats = feats.T
         video = dict(meta, features=feats)
         if self.depth_path is not None:
-            depth = np.load(self._depth_file(vid_file))
+            depth = np.load(self._depth_file(vid_file, seq))
+            if self.cfg.multi_sequence and meta["images"]:
+                # align the whole-video depth stack to this sequence's frame
+                # window by the gt's image indices
+                # (basedataset_darai_depth.py:105-113)
+                idxs = [
+                    int(os.path.basename(p).split("_")[-1].split(".")[0])
+                    for p in meta["images"]
+                ]
+                depth = depth[idxs[0] : idxs[-1] + 1]
             if self.cfg.normalize_depth:
                 # NTU: whole-stack min-max -> [0,255] uint8
                 # (basedataset_nturgbd.py:42-52)
@@ -154,13 +221,13 @@ class VideoSource:
                 depth = depth.astype(np.uint8)
             video["depth"] = depth
         if self.cache == "ram":
-            self._cache[vid_file] = video
+            self._cache[key] = video
         return video
 
     def make_example(self, vid: str, obs_perc: float, sample_rate: int,
-                     n_query: int) -> Example:
+                     n_query: int, seq: Optional[int] = None) -> Example:
         vid_file = vid.split("/")[-1]
-        if self.cache == "native":
+        if self.cache == "native" and seq is None and not self.cfg.multi_sequence:
             from r3d_tpu.data import native
             from r3d_tpu.data.protocol import make_example_from_indices
 
@@ -208,12 +275,12 @@ class VideoSource:
 
         from r3d_tpu.data.protocol import make_example_from_indices
 
-        v = self.load_video(vid)
+        v = self.load_video(vid, seq)
         return make_example_from_indices(
             v["features"], v["label_idx"], obs_perc, sample_rate, n_query,
             self.pad_idx, self.n_class,
             depth_features=v.get("depth"), query_idx=v["query_idx"],
-            vid_name=vid,
+            vid_name=vid if seq is None else f"{vid}::{seq}",
         )
 
 
@@ -244,11 +311,11 @@ def build_loader(
     drop_remainder: bool = False,
 ) -> BucketedLoader:
     obs = cfg.train_obs_percs if mode in ("train", "val") else (obs_perc,)
-    table = [(v, o) for v in source.vid_list for o in obs]
+    table = [(u, o) for u in source.units() for o in obs]
 
     def fn(i: int) -> Example:
-        vid, o = table[i]
-        return source.make_example(vid, o, cfg.sample_rate, n_query)
+        (vid, seq), o = table[i]
+        return source.make_example(vid, o, cfg.sample_rate, n_query, seq=seq)
 
     return BucketedLoader(
         num_examples=len(table),

@@ -12,8 +12,11 @@ whole extractor runs on the MXU in bfloat16.
 
 Weights: torchvision's pretrained checkpoint converts via
 ``load_torchvision_weights`` when torch + a local checkpoint are available
-(this image has no egress, so downloading is gated; random init otherwise —
-fine for pipeline tests, not for reproducing reference features).
+(this image has no egress, so downloading is gated; random init otherwise).
+The conversion + architecture are numerically validated against a
+torchvision-layout torch oracle (tests/test_preprocess.py::
+test_resnet50_conversion_parity_vs_torch, atol 1e-4) — pointing the CLI at a
+real torchvision checkpoint reproduces reference features.
 """
 
 from __future__ import annotations

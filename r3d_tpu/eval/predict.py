@@ -80,8 +80,8 @@ class Predictor:
         cfg = self.config
         sample_rate = cfg.data.sample_rate
         groups: Dict[int, List[Dict]] = collections.defaultdict(list)
-        for vid in source.vid_list:
-            v = source.load_video(vid)
+        for vid, seq in source.units():
+            v = source.load_video(vid, seq)
             labels_idx = v["label_idx"]
             vid_len = len(labels_idx)
             if cfg.eval.max_eval_len and vid_len > cfg.eval.max_eval_len:
@@ -93,7 +93,8 @@ class Predictor:
             real_s = feats.shape[0]
             S = bucket_length(real_s, cfg.data.seq_buckets)
             item = {
-                "vid": vid, "labels_idx": labels_idx, "past_len": past_len,
+                "vid": vid, "seq": seq,
+                "labels_idx": labels_idx, "past_len": past_len,
                 "future_len": int(cfg.eval.pred_p * vid_len),
                 "real_s": real_s, "feats": feats,
             }
@@ -179,7 +180,7 @@ class Predictor:
                     acc.add_video(labels_idx, prediction, obs_p)
 
                     if gif_dir is not None:
-                        meta = source.load_meta(it["vid"])
+                        meta = source.load_meta(it["vid"], it["seq"])
                         if meta.get("images"):
                             import os
 

@@ -26,7 +26,8 @@ def build_model(cfg: ModelConfig, n_class: int) -> Any:
     if cfg.model in _FUSION_MODELS:
         return FUTRFusion(cfg, n_class)
     if cfg.model in (
-        "futr_unsupervised", "futr_proposed", "futr_gaze", "futr_unsupervised_depth"
+        "futr_unsupervised", "futr_proposed", "futr_gaze", "futr_unsupervised_depth",
+        "futr_unsupervised_temp2", "futr_unsupervised_temp3",
     ):
         from r3d_tpu.models.futr_unsupervised import FUTRUnsupervised
 
@@ -35,8 +36,15 @@ def build_model(cfg: ModelConfig, n_class: int) -> Any:
             "futr_proposed": "gt",
             "futr_gaze": "gaze",
             "futr_unsupervised_depth": "depth",
+            "futr_unsupervised_temp2": "self_attention",
+            "futr_unsupervised_temp3": "self_attention",
         }[cfg.model]
-        return FUTRUnsupervised(cfg, n_class, query_source=source)
+        variant = (
+            cfg.model[len("futr_unsupervised_"):]
+            if cfg.model.startswith("futr_unsupervised_temp")
+            else ""
+        )
+        return FUTRUnsupervised(cfg, n_class, query_source=source, variant=variant)
     if cfg.model == "rnn":
         from r3d_tpu.models.baselines import RNNAnticipator
 

@@ -19,6 +19,18 @@ Extra heads (futr_unsupervised.py:162-167): ``l3`` = fc_l3(action_query)
 computed on the PRE-decoder queries, and ``supcon`` = the query stream.
 Baseline-FUTR variant note: futr_baseline.py returns supcon=tgt; covered by
 the same flag.
+
+Ablation ``variant``s of the self-attention mode:
+
+- ``'temp2'`` (futr_unsupervised_temp2.py): the L3 stream ADDs into src
+  (``src = src + l3_stream``) instead of becoming the queries; the decoder
+  runs on learned n_query action queries (Embedding(n_query, hidden)), fc_l3
+  reads the L3 stream, and no supcon output is returned.
+- ``'temp3'`` (futr_unsupervised_temp3.py): pooled self-attention queries
+  with fc_l3 on the full stream and no supcon — identical to this module's
+  default pooling (COMPAT.md #18) minus the supcon head. (The reference file
+  also constructs a ``query_attention`` MultiheadAttention it never calls —
+  dead code, not reproduced.)
 """
 
 from __future__ import annotations
@@ -68,6 +80,7 @@ class FUTRUnsupervised(nn.Module):
     # gaze (futr_unsupervised_multimodal.py) | depth (futr_unsupervised_depth.py)
     query_source: str = "self_attention"
     attend_over_batch: bool = True        # reference layout quirk (see module doc)
+    variant: str = ""                     # '' | 'temp2' | 'temp3' (see module doc)
 
     @nn.compact
     def __call__(
@@ -89,6 +102,8 @@ class FUTRUnsupervised(nn.Module):
         src = src + pe[None].astype(src.dtype)
         src = nn.Dropout(0.1)(src, deterministic=not train)
 
+        l3_stream = None
+        seg_override = None  # temp2: seg rides the pre-l3-add stream
         pos = None
         if cfg.pos_emb:
             pos_embedding = self.param(
@@ -141,6 +156,20 @@ class FUTRUnsupervised(nn.Module):
             else:
                 src_l3 = attn(src, src, src, deterministic=not train)
             action_query = src_l3 + pe[None].astype(src_l3.dtype)
+            if self.variant == "temp2":
+                # futr_unsupervised_temp2.py: L3 stream adds into src; the
+                # decoder gets learned n_query action queries instead. The
+                # seg head keeps riding the PRE-add stream (temp2.py:164
+                # applies fc_seg to the original src, not src+l3).
+                l3_stream = action_query
+                seg_override = src
+                src = src + l3_stream
+                q_emb = self.param(
+                    "query_embed", xavier, (cfg.n_query, cfg.hidden_dim)
+                )
+                action_query = jnp.broadcast_to(
+                    q_emb[None].astype(src.dtype), (B, cfg.n_query, cfg.hidden_dim)
+                )
 
         # The L3 head is per-frame (fc_l3 over the full S-length query stream,
         # futr_unsupervised.py:163), but the decoder queries must be pooled to
@@ -150,10 +179,14 @@ class FUTRUnsupervised(nn.Module):
         # variants (futr_unsupervised_temp4.py and the Transformer's internal
         # L3 path, transformer.py:121) adaptive-avg-pool to n_query — adopted
         # here (COMPAT.md #18).
-        query_stream = action_query
+        query_stream = l3_stream if self.variant == "temp2" else action_query
         from r3d_tpu.models.layers import adaptive_avg_pool1d
 
-        pooled_query = adaptive_avg_pool1d(query_stream, cfg.n_query)
+        pooled_query = (
+            action_query
+            if self.variant == "temp2"  # already n_query learned queries
+            else adaptive_avg_pool1d(action_query, cfg.n_query)
+        )
 
         memory, hs = FUTRTransformer(
             cfg.hidden_dim, cfg.n_head, cfg.n_encoder_layers, cfg.n_decoder_layers,
@@ -163,9 +196,13 @@ class FUTRUnsupervised(nn.Module):
             dtype=dt, name="transformer",
         )(src, pos, pooled_query, src_pad_mask, deterministic=not train)
 
-        out = Heads(cfg, self.n_class, name="heads")(hs, memory)
+        out = Heads(cfg, self.n_class, name="heads")(
+            hs, memory if seg_override is None else seg_override
+        )
         out["l3"] = nn.Dense(
             cfg.query_num, kernel_init=xavier, dtype=dt, name="fc_l3"
         )(query_stream).astype(jnp.float32)
-        out["supcon"] = query_stream
+        if self.variant not in ("temp2", "temp3"):
+            # temp2/temp3 drop the supcon output (temp2 diff: commented out)
+            out["supcon"] = query_stream
         return out

@@ -83,3 +83,85 @@ def test_l3_stream_parity_eval():
     np.testing.assert_allclose(
         np.array(out["seg"]), ref_out["seg"].numpy(), atol=3e-4
     )
+
+
+def test_temp2_full_parity_eval():
+    """futr_unsupervised_temp2 ('l3-into-src') decodes n_query learned
+    queries, so ALL outputs are comparable, not just the pre-decoder ones."""
+    from model.futr_unsupervised_temp2 import FUTR as RefTemp2
+
+    cfg = ModelConfig(
+        model="futr_unsupervised_temp2", hidden_dim=32, n_head=4,
+        n_encoder_layers=1, n_decoder_layers=1, n_query=8, input_dim=16,
+        max_pos_len=64, compute_dtype="float32", query_num=QUERY_NUM,
+        dropout=0.0,
+    )
+    args = torch_ref.RefArgs(input_dim=16, max_pos_len=64)
+    torch.manual_seed(0)
+    ref = RefTemp2(
+        N_CLASS, 32, PAD_IDX, torch.device("cpu"), args, n_query=8, n_head=4,
+        num_encoder_layers=1, num_decoder_layers=1, query_num=QUERY_NUM,
+    )
+    ref.eval()
+    torch_ref.zero_dropout(ref)
+
+    rng = np.random.RandomState(0)
+    B, S = 3, 20
+    x = rng.randn(B, S, 16).astype(np.float32)
+    with torch.no_grad():
+        dummy_q = torch.zeros(B, S, dtype=torch.long)
+        ref_out = ref(torch.tensor(x), dummy_q, mode="test")
+
+    ours = FUTRUnsupervised(cfg, N_CLASS, query_source="self_attention",
+                            attend_over_batch=True, variant="temp2")
+    p = {"embed": {}, "heads": {}}
+    torch_ref.linear(p["embed"], "input_embed", ref.input_embed)
+    p["pos_embedding"] = torch_ref.t2n(ref.pos_embedding)
+    p["query_embed"] = torch_ref.t2n(ref.query_embed.weight)
+    p["transformer"] = torch_ref.transformer_params(ref.transformer)
+    torch_ref.linear(p["heads"], "fc", ref.fc)
+    torch_ref.linear(p["heads"], "fc_len", ref.fc_len)
+    torch_ref.linear(p["heads"], "fc_seg", ref.fc_seg)
+    torch_ref.mha(p, "l3_attention", ref.l3_attention)
+    torch_ref.linear(p, "fc_l3", ref.fc_l3)
+    params = jax.tree.map(jnp.asarray, p)
+
+    out = ours.apply({"params": params}, jnp.array(x), train=False)
+
+    assert "supcon" not in out  # temp2 drops the supcon output
+    np.testing.assert_allclose(
+        np.array(out["l3"]), ref_out["l3"].numpy(), atol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.array(out["action"]), ref_out["action"].numpy(), atol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.array(out["duration"]), ref_out["duration"].numpy(), atol=3e-4
+    )
+    # temp2 seg rides the PRE-l3-add stream (temp2.py:164)
+    np.testing.assert_allclose(
+        np.array(out["seg"]), ref_out["seg"].numpy(), atol=3e-4
+    )
+
+
+def test_temp3_is_default_minus_supcon():
+    """temp3 == the adopted default pooling (COMPAT #18) without supcon; its
+    decoder/head outputs must match futr_unsupervised bit-for-bit on shared
+    weights."""
+    cfg = ModelConfig(
+        model="futr_unsupervised", hidden_dim=32, n_head=4,
+        n_encoder_layers=1, n_decoder_layers=1, n_query=8, input_dim=16,
+        max_pos_len=64, compute_dtype="float32", query_num=QUERY_NUM,
+        dropout=0.0,
+    )
+    base = FUTRUnsupervised(cfg, N_CLASS, query_source="self_attention")
+    temp3 = FUTRUnsupervised(cfg, N_CLASS, query_source="self_attention",
+                             variant="temp3")
+    rng = np.random.RandomState(1)
+    x = jnp.array(rng.randn(2, 16, 16).astype(np.float32))
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    out_base = base.apply(variables, x, train=False)
+    out_t3 = temp3.apply(variables, x, train=False)
+    assert "supcon" in out_base and "supcon" not in out_t3
+    for k in ("action", "duration", "seg", "l3"):
+        np.testing.assert_array_equal(np.array(out_base[k]), np.array(out_t3[k]))
