@@ -1,9 +1,13 @@
 """Benchmark: RGB-D fusion FUTR training throughput on one TPU chip.
 
-Workload matches tools/measure_baseline.py (the PyTorch-CPU reference run on
-the same shapes): UTKinect config — B=8, S=256, 2048-d RGB features,
-160x120 raw depth, hidden 128, BN token fuser, full train step (forward,
-seg+weighted-CE+duration losses, backward, AdamW, BN stats).
+Headline workload matches tools/measure_baseline.py (the PyTorch-CPU
+reference run on the same shapes): UTKinect config — B=8, S=256, 2048-d RGB
+features, 160x120 raw depth, hidden 128, BN token fuser, full train step
+(forward, seg+weighted-CE+duration losses, backward, AdamW, BN stats).
+
+The details block carries the second BASELINE workload: the PUBLISHED
+50salads shape (h512/S3100/enc2/dec2/nq20, scripts/50s_train.sh:1-5, bf16)
+vs tools/measure_baseline_50s.py.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against baseline_cpu.json (torch-CPU reference,
@@ -92,11 +96,33 @@ def main():
         infer_sec = min(infer_sec, (time.time() - t0) / n_steps)
     infer_cps = B / infer_sec
 
+    # --- second workload: the published 50salads shape (h512/S3100, bf16) ---
+    from tools.measure_r2 import make_futr_50s
+
+    tr50, st50, b50 = make_futr_50s("bfloat16", batch_size=B)
+    step50 = tr50.make_train_step()
+    st50, m50 = step50(st50, b50, rng, 0)
+    float(m50["loss"])
+    sec50 = float("inf")
+    for rep in range(3):
+        t0 = time.time()
+        for i in range(n_steps):
+            st50, m50 = step50(st50, b50, jax.random.fold_in(rng, i), 0)
+        float(m50["loss"])
+        sec50 = min(sec50, (time.time() - t0) / n_steps)
+    cps50 = B / sec50
+
     baseline_path = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
     baseline_cps = 22.137841088845267  # torch-CPU reference (measured)
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline_cps = json.load(f)["train_clips_per_sec"]
+    baseline_50s_path = os.path.join(
+        os.path.dirname(__file__), "baseline_cpu_50s.json")
+    baseline_50s_cps = None
+    if os.path.exists(baseline_50s_path):
+        with open(baseline_50s_path) as f:
+            baseline_50s_cps = json.load(f)["train_clips_per_sec"]
 
     print(
         json.dumps(
@@ -111,6 +137,14 @@ def main():
                     "train_step_ms": round(train_sec * 1e3, 2),
                     "baseline": "torch-cpu reference (baseline_cpu.json)",
                     "device": str(jax.devices()[0]),
+                    "50salads_workload": "futr B=8 S=3100 h=512 enc2 dec2 nq20 bf16",
+                    "50salads_train_clips_per_sec": round(cps50, 2),
+                    "50salads_train_step_ms": round(sec50 * 1e3, 2),
+                    "50salads_vs_baseline": (
+                        round(cps50 / baseline_50s_cps, 2)
+                        if baseline_50s_cps
+                        else None
+                    ),
                 },
             }
         )

@@ -25,12 +25,22 @@ from r3d_tpu.utils.prompts import build_prompt
 
 def label_dataset(config_name: str, backend: str, frames_root: str,
                   out_dir: str, split: str = "train_split.txt",
-                  max_frames: int = 20) -> List[str]:
-    from r3d_tpu.models.llm import make_labeler
+                  max_frames: int = 20, labeler=None,
+                  data_root: str = None) -> List[str]:
+    """``labeler`` injects a pre-built backend (anything with
+    ``get_fine_grained_labels(frame_paths, prompt)``); by default one is
+    constructed from ``backend`` (needs API keys / local weights)."""
+    import dataclasses
 
     cfg = CONFIGS[config_name]
-    source = build_source(cfg.data, split)
-    labeler = make_labeler(backend)
+    data_cfg = cfg.data
+    if data_root is not None:
+        data_cfg = dataclasses.replace(data_cfg, data_root=data_root)
+    source = build_source(data_cfg, split)
+    if labeler is None:
+        from r3d_tpu.models.llm import make_labeler
+
+        labeler = make_labeler(backend)
     os.makedirs(out_dir, exist_ok=True)
 
     written = []
@@ -61,9 +71,10 @@ def main(argv=None):  # pragma: no cover - needs API access
     p.add_argument("--frames_root", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--split", default="train_split.txt")
+    p.add_argument("--data_root", default=None)
     args = p.parse_args(argv)
     written = label_dataset(args.config, args.backend, args.frames_root,
-                            args.out, args.split)
+                            args.out, args.split, data_root=args.data_root)
     print(f"labeled {len(written)} videos -> {args.out}")
 
 

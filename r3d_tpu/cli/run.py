@@ -102,21 +102,29 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
     template = trainer.init_state(jax.random.PRNGKey(0), example, steps_per_epoch=1)
 
     ckpt = Checkpointer(save_path(config, dataset_ops))
+    # seed-outer, one multi-ratio pass per seed: every obs window buckets into
+    # the same compiled programs (Predictor.predict_multi), and each
+    # checkpoint restores once instead of once per ratio. The reference runs
+    # a fresh per-(ratio, seed) pass (main_utkinects.py:138-165); accuracies
+    # average across seeds the same way.
+    per_seed: list = []
+    for seed in seeds:
+        if not ckpt.has(f"seed_{seed}_best"):
+            log(f"missing checkpoint seed_{seed}_best — skipping")
+            continue
+        state = ckpt.restore_best(seed, template)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        per_seed.append(
+            predictor.predict_multi(
+                variables, source, list(config.eval.obs_percs), log=log
+            )
+        )
     all_results: Dict[str, Dict[str, float]] = {}
     for obs_p in config.eval.obs_percs:
-        per_seed = []
-        for seed in seeds:
-            if not ckpt.has(f"seed_{seed}_best"):
-                log(f"missing checkpoint seed_{seed}_best — skipping")
-                continue
-            state = ckpt.restore_best(seed, template)
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
-            res = predictor.predict(variables, source, obs_p, log=log)
-            per_seed.append(res)
-        if per_seed:
-            keys = per_seed[0].keys()
+        rs = [r[obs_p] for r in per_seed if obs_p in r]
+        if rs:
             all_results[f"obs{obs_p}"] = {
-                k: float(np.mean([r[k] for r in per_seed])) for k in keys
+                k: float(np.mean([r[k] for r in rs])) for k in rs[0].keys()
             }
     return all_results
 

@@ -114,8 +114,11 @@ class ModelConfig:
                                         # every step (the paper's analysis curve)
     sow_attn: bool = False              # capture attention weights into the
                                         # 'intermediates' collection (viz)
-    # Compute dtype for the hot path ('bfloat16' on TPU, 'float32' for parity tests)
-    compute_dtype: str = "bfloat16"
+    # Compute dtype for the hot path. Measured on v5e (tools/measure_r2.py):
+    # bf16 wins 1.31x on the matmul-bound 50salads shape (h512/S3100) but
+    # LOSES ~6% on the fusion workload (h128, BN/blend elementwise-bound),
+    # so fusion configs default fp32 and the wide futr configs set bfloat16.
+    compute_dtype: str = "float32"
     use_pallas: bool = True             # fused Pallas kernels where profitable
 
 
@@ -203,6 +206,7 @@ CONFIGS = {
         model=ModelConfig(
             model="futr", hidden_dim=512, n_encoder_layers=2, n_decoder_layers=2,
             n_query=20, max_pos_len=3100, seg_excludes_none=True,
+            compute_dtype="bfloat16",   # 1.31x at this shape (measure_r2)
         ),
         train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0),
     ),
@@ -224,7 +228,7 @@ CONFIGS = {
         model=ModelConfig(
             model="futr_proposed", hidden_dim=512, n_encoder_layers=2,
             n_decoder_layers=2, n_query=20, max_pos_len=3100, query_num=19,
-            seg_excludes_none=True,
+            seg_excludes_none=True, compute_dtype="bfloat16",
         ),
         train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0),
     ),

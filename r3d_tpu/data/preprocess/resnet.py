@@ -116,6 +116,67 @@ def make_feature_extractor(
     return lambda frames: np.array(fn(variables, jnp.asarray(frames)))
 
 
+def extract_video_features(
+    video_path: str,
+    variables: Any,
+    target_hw: Tuple[int, int] = (224, 224),
+    batch: int = 32,
+    dtype: jnp.dtype = jnp.bfloat16,
+    out_path: Optional[str] = None,
+) -> np.ndarray:
+    """Video file -> [T, 2048] features in ONE compiled device program per
+    frame batch (the north-star replacement for the reference's
+    avi2png.py:34-46 -> png -> per-frame torch pipeline, reference
+    data/utkinect-imgpreprocess.py:99-114).
+
+    Decode is the only host stage (video codecs don't exist in XLA); frames
+    stream through the jitted resize->normalize->ResNet program in
+    fixed-size batches (static shapes; the tail batch pads and trims), so
+    the device never waits on per-frame Python. Writes ``{out_path}`` as the
+    reference's ``{vid}.npy`` when given."""
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover - env gated
+        raise RuntimeError("extract_video_features requires opencv (cv2)") from e
+
+    fn = jax.jit(
+        functools.partial(fused_preprocess_embed, target_hw=target_hw, dtype=dtype)
+    )
+    cap = cv2.VideoCapture(video_path)
+    feats = []
+    buf: list = []
+
+    def flush():
+        n = len(buf)
+        if not n:
+            return
+        arr = np.stack(buf, axis=0)
+        if n < batch:  # static shapes: pad the tail batch, trim the output
+            arr = np.concatenate(
+                [arr, np.zeros((batch - n,) + arr.shape[1:], arr.dtype)]
+            )
+        feats.append(np.array(fn(variables, jnp.asarray(arr)))[:n])
+        buf.clear()
+
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        buf.append(frame[:, :, ::-1])  # BGR -> RGB
+        if len(buf) == batch:
+            flush()
+    cap.release()
+    flush()
+    out = (
+        np.concatenate(feats, axis=0)
+        if feats
+        else np.zeros((0, 2048), np.float32)
+    )
+    if out_path is not None:
+        np.save(out_path, out)
+    return out
+
+
 def load_torchvision_weights(state_dict) -> Any:
     """torchvision resnet50 state_dict -> flax variables for ResNet50Features.
 

@@ -139,16 +139,23 @@ def gaze_csv_to_query(csv_path: str, n_frames: int) -> np.ndarray:
     return np.concatenate([g, pad], axis=0)
 
 
-def extract_clip_features(image_paths: Sequence[str]) -> np.ndarray:
-    """CLIP ViT-B/32 image features (darai-clip.py:12-40). Needs transformers
-    with locally cached weights (no egress in this environment)."""
-    try:  # pragma: no cover - env gated
+def extract_clip_features(
+    image_paths: Sequence[str], model=None, processor=None
+) -> np.ndarray:
+    """CLIP ViT-B/32 image features (darai-clip.py:12-40).
+
+    ``model``/``processor`` inject a pre-built CLIP (tests use a tiny
+    random-config model; production loads the pretrained checkpoint, which
+    needs locally cached weights — no egress in this environment)."""
+    try:
         from transformers import CLIPModel, CLIPProcessor
         from PIL import Image
-    except ImportError as e:
+    except ImportError as e:  # pragma: no cover - env gated
         raise RuntimeError("extract_clip_features requires transformers+PIL") from e
-    model = CLIPModel.from_pretrained("openai/clip-vit-base-patch32")
-    processor = CLIPProcessor.from_pretrained("openai/clip-vit-base-patch32")
+    if model is None:
+        model = CLIPModel.from_pretrained("openai/clip-vit-base-patch32")
+    if processor is None:
+        processor = CLIPProcessor.from_pretrained("openai/clip-vit-base-patch32")
     feats = []
     for p in image_paths:
         inputs = processor(images=Image.open(p), return_tensors="pt")
@@ -170,6 +177,16 @@ def main(argv=None):  # pragma: no cover - thin CLI
     fp.add_argument("--out", required=True)
     fp.add_argument("--count", type=int, default=None)
 
+    ep = sub.add_parser(
+        "embed", help="video -> {vid}.npy ResNet-50 features (fused ingest)"
+    )
+    ep.add_argument("--video", required=True)
+    ep.add_argument("--out", required=True, help="output .npy path")
+    ep.add_argument("--torch_ckpt", default=None,
+                    help="torchvision resnet50 state_dict (.pth) to convert")
+    ep.add_argument("--size", type=int, nargs=2, default=(224, 224))
+    ep.add_argument("--batch", type=int, default=32)
+
     args = p.parse_args(argv)
     if args.cmd == "splits":
         if os.path.isdir(args.videos):
@@ -180,6 +197,35 @@ def main(argv=None):  # pragma: no cover - thin CLI
     elif args.cmd == "frames":
         n = video_to_frames(args.video, args.out, args.count)
         print(f"wrote {n} frames")
+    elif args.cmd == "embed":
+        import jax
+
+        from r3d_tpu.data.preprocess.resnet import (
+            ResNet50Features,
+            extract_video_features,
+            load_torchvision_weights,
+        )
+
+        if args.torch_ckpt:
+            import torch
+
+            sd = torch.load(args.torch_ckpt, map_location="cpu")
+            variables = load_torchvision_weights(
+                {k: v.numpy() for k, v in sd.items()}
+            )
+        else:
+            import jax.numpy as jnp
+
+            print("WARNING: no --torch_ckpt; random-init features")
+            model = ResNet50Features()
+            variables = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+            )
+        feats = extract_video_features(
+            args.video, variables, target_hw=tuple(args.size),
+            batch=args.batch, out_path=args.out,
+        )
+        print(f"wrote {feats.shape} -> {args.out}")
 
 
 if __name__ == "__main__":

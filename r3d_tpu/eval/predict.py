@@ -143,6 +143,130 @@ class Predictor:
         outputs = self._jit_forward(variables, *args)
         return {k: np.array(v[:n], np.float32) for k, v in outputs.items()}
 
+    def _accumulate(self, it: Dict, outputs: Dict, i: int, acc, stats: Dict,
+                    source: VideoSource, obs_p: float,
+                    gif_dir: Optional[str], frames_root: str):
+        """Fold one video's outputs into the per-obs accumulators."""
+        cfg = self.config
+        sample_rate = cfg.data.sample_rate
+        none_idx = self.n_class - 1
+        labels_idx = it["labels_idx"]
+        past_len, future_len = it["past_len"], it["future_len"]
+        action_logits = outputs["action"][i]
+        durations = outputs["duration"][i]
+
+        frames, _ = decode_anticipation(
+            action_logits, durations, future_len, none_idx
+        )
+        prediction = np.concatenate([labels_idx[:past_len], frames])
+        acc.add_video(labels_idx, prediction, obs_p)
+
+        if gif_dir is not None:
+            meta = source.load_meta(it["vid"], it["seq"])
+            if meta.get("images"):
+                import os
+
+                from r3d_tpu.eval.visualize import render_anticipation_gif
+
+                idx_to_name = {v: k for k, v in source.actions_dict.items()}
+                idx_to_name[none_idx] = "NONE"
+                n_show = min(len(meta["images"]), len(prediction))
+                render_anticipation_gif(
+                    [os.path.join(frames_root, p) for p in meta["images"][:n_show]],
+                    [idx_to_name.get(int(x), "?") for x in labels_idx[:n_show]],
+                    [idx_to_name.get(int(x), "?") for x in prediction[:n_show]],
+                    os.path.join(
+                        gif_dir,
+                        f"{it['vid'].split('/')[-1].split('.')[0]}_{obs_p}.gif",
+                    ),
+                    observed_count=past_len,
+                )
+
+        # secondary metrics (predict_utkinects.py:305-328)
+        future_sub = labels_idx[past_len : past_len + future_len][::sample_rate]
+        pred_actions = np.argmax(action_logits, axis=-1)
+        last_obs = labels_idx[past_len - 1]
+        stats["ant"] += weighted_anticipation_accuracy(
+            pred_actions, future_sub, last_obs,
+            exclude_class_idx=cfg.train.exclude_class_idx,
+        )
+        if "seg" in outputs:
+            seg_pred = np.argmax(outputs["seg"][i], axis=-1)
+            past_sub = labels_idx[:past_len][::sample_rate]
+            n = min(it["real_s"], len(past_sub))
+            if n:
+                stats["seg"] += float(np.mean(seg_pred[:n] == past_sub[:n]))
+        # predict-time L3/query accuracy (predict_breakfast.py:121-131:
+        # cal_performance_focal over the per-frame L3 logits, pad+exclude ids
+        # dropped from the count)
+        if "l3" in outputs and "query" in it:
+            q = np.asarray(it["query"])
+            if q.ndim == 1 and np.issubdtype(q.dtype, np.integer):
+                r = it["real_s"]
+                l3_pred = np.argmax(outputs["l3"][i][:r], axis=-1)
+                gt = q[:r]
+                valid = np.ones(r, bool)
+                if self.config.train.l3_pad_idx is not None:
+                    valid &= gt != self.config.train.l3_pad_idx
+                if self.config.train.l3_exclude_idx is not None:
+                    valid &= gt != self.config.train.l3_exclude_idx
+                stats["l3_correct"] += int(np.sum((l3_pred == gt) & valid))
+                stats["l3_total"] += int(valid.sum())
+        stats["n"] += 1
+
+    def predict_multi(
+        self,
+        variables: Dict,
+        source: VideoSource,
+        obs_list,
+        log: Callable = print,
+        gif_dir: Optional[str] = None,
+        frames_root: str = "",
+    ) -> Dict[float, Dict[str, float]]:
+        """One device sweep serving EVERY observation ratio (ROADMAP #4): all
+        ratios' windows bucket together, so chunks fill across ratios and one
+        compiled program per (bucket, batch) shape covers the whole protocol
+        (the reference runs a fresh pass per ratio,
+        main_utkinects.py:138-165)."""
+        cfg = self.config
+        groups: Dict[int, List[Dict]] = collections.defaultdict(list)
+        for obs_p in obs_list:
+            for S, items in self._prepare(source, obs_p).items():
+                for it in items:
+                    it["obs_p"] = obs_p
+                groups[S].extend(items)
+
+        accs = {
+            o: MoCAccumulator(cfg.eval.eval_p, len(source.actions_dict))
+            for o in obs_list
+        }
+        stats = {
+            o: dict(ant=0.0, seg=0.0, l3_correct=0, l3_total=0, n=0)
+            for o in obs_list
+        }
+        for S, items in sorted(groups.items()):
+            for start in range(0, len(items), self.eval_batch):
+                chunk = items[start : start + self.eval_batch]
+                outputs = self._forward_batch(variables, chunk, S)
+                for i, it in enumerate(chunk):
+                    o = it["obs_p"]
+                    self._accumulate(
+                        it, outputs, i, accs[o], stats[o], source, o,
+                        gif_dir, frames_root,
+                    )
+
+        all_results: Dict[float, Dict[str, float]] = {}
+        for o in obs_list:
+            results = accs[o].results(o)
+            accs[o].print_results(o)
+            st = stats[o]
+            results["ant_acc"] = st["ant"] / max(st["n"], 1)
+            results["seg_acc"] = st["seg"] / max(st["n"], 1)
+            if st["l3_total"]:
+                results["l3_acc"] = st["l3_correct"] / st["l3_total"]
+            all_results[o] = results
+        return all_results
+
     def predict(
         self,
         variables: Dict,
@@ -152,77 +276,10 @@ class Predictor:
         gif_dir: Optional[str] = None,
         frames_root: str = "",
     ) -> Dict[str, float]:
-        """``gif_dir``: also render gt-vs-pred anticipation GIFs per video
+        """Single-ratio protocol (reference predict_utkinects.py:215-392).
+        ``gif_dir``: also render gt-vs-pred anticipation GIFs per video
         (reference make_gif.py flow) when the gt carries image paths."""
-        cfg = self.config
-        sample_rate = cfg.data.sample_rate
-        none_idx = self.n_class - 1
-        acc = MoCAccumulator(cfg.eval.eval_p, len(source.actions_dict))
-        ant_acc_total, seg_acc_total, n_vids = 0.0, 0.0, 0
-        idx_to_name = {v: k for k, v in source.actions_dict.items()}
-        idx_to_name[none_idx] = "NONE"
-
-        groups = self._prepare(source, obs_p)
-        for S, items in sorted(groups.items()):
-            for start in range(0, len(items), self.eval_batch):
-                chunk = items[start : start + self.eval_batch]
-                outputs = self._forward_batch(variables, chunk, S)
-                for i, it in enumerate(chunk):
-                    labels_idx = it["labels_idx"]
-                    past_len, future_len = it["past_len"], it["future_len"]
-                    action_logits = outputs["action"][i]
-                    durations = outputs["duration"][i]
-
-                    frames, _ = decode_anticipation(
-                        action_logits, durations, future_len, none_idx
-                    )
-                    prediction = np.concatenate([labels_idx[:past_len], frames])
-                    acc.add_video(labels_idx, prediction, obs_p)
-
-                    if gif_dir is not None:
-                        meta = source.load_meta(it["vid"], it["seq"])
-                        if meta.get("images"):
-                            import os
-
-                            from r3d_tpu.eval.visualize import render_anticipation_gif
-
-                            n_show = min(len(meta["images"]), len(prediction))
-                            render_anticipation_gif(
-                                [
-                                    os.path.join(frames_root, p)
-                                    for p in meta["images"][:n_show]
-                                ],
-                                [idx_to_name.get(int(x), "?") for x in labels_idx[:n_show]],
-                                [idx_to_name.get(int(x), "?") for x in prediction[:n_show]],
-                                os.path.join(
-                                    gif_dir,
-                                    f"{it['vid'].split('/')[-1].split('.')[0]}_{obs_p}.gif",
-                                ),
-                                observed_count=past_len,
-                            )
-
-                    # secondary metrics (predict_utkinects.py:305-328)
-                    future_sub = labels_idx[
-                        past_len : past_len + future_len
-                    ][::sample_rate]
-                    pred_actions = np.argmax(action_logits, axis=-1)
-                    last_obs = labels_idx[past_len - 1]
-                    ant_acc_total += weighted_anticipation_accuracy(
-                        pred_actions, future_sub, last_obs,
-                        exclude_class_idx=cfg.train.exclude_class_idx,
-                    )
-                    if "seg" in outputs:
-                        seg_pred = np.argmax(outputs["seg"][i], axis=-1)
-                        past_sub = labels_idx[:past_len][::sample_rate]
-                        n = min(it["real_s"], len(past_sub))
-                        if n:
-                            seg_acc_total += float(
-                                np.mean(seg_pred[:n] == past_sub[:n])
-                            )
-                    n_vids += 1
-
-        results = acc.results(obs_p)
-        acc.print_results(obs_p)
-        results["ant_acc"] = ant_acc_total / max(n_vids, 1)
-        results["seg_acc"] = seg_acc_total / max(n_vids, 1)
-        return results
+        return self.predict_multi(
+            variables, source, [obs_p], log=log, gif_dir=gif_dir,
+            frames_root=frames_root,
+        )[obs_p]

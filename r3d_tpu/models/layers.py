@@ -73,14 +73,17 @@ class MultiheadAttention(nn.Module):
 
         bias = attention_bias_from_padding(key_padding_mask, jnp.float32)
 
-        from r3d_tpu.ops.attention import attention_kernel_eligible, flash_attention
+        from r3d_tpu.ops.attention import (
+            attention_kernel_eligible,
+            flash_attention_sharded,
+        )
 
         if (
             attn_bias is None
             and (deterministic or self.dropout == 0.0)
             and attention_kernel_eligible(Lq, Lk, D)
         ):
-            out = flash_attention(
+            out = flash_attention_sharded(
                 jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2),
                 jnp.swapaxes(vh, 1, 2), bias, 1.0 / math.sqrt(D),
             )

@@ -93,15 +93,23 @@ class VideoToLabelLLM:
     space; generation is prompted with [projected frames; prompt tokens]."""
 
     def __init__(self, model_name: str = "meta-llama/Llama-2-7b-hf",
-                 video_dim: int = 2048):
-        try:  # pragma: no cover - env gated
+                 video_dim: int = 2048, model=None, tokenizer=None):
+        """``model``/``tokenizer`` inject a pre-built causal LM (tests use a
+        tiny random-config Llama; production loads the named checkpoint)."""
+        try:
             import torch
             from transformers import AutoModelForCausalLM, AutoTokenizer
-        except ImportError as e:
+        except ImportError as e:  # pragma: no cover - env gated
             raise RuntimeError("VideoToLabelLLM requires transformers+torch") from e
         self._torch = torch
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
-        self.model = AutoModelForCausalLM.from_pretrained(model_name)
+        self.tokenizer = (
+            tokenizer if tokenizer is not None
+            else AutoTokenizer.from_pretrained(model_name)
+        )
+        self.model = (
+            model if model is not None
+            else AutoModelForCausalLM.from_pretrained(model_name)
+        )
         hidden = self.model.config.hidden_size
         self.projection = torch.nn.Linear(video_dim, hidden)
 

@@ -125,6 +125,30 @@ def _bwd(scale, res, g):
 flash_attention.defvjp(_fwd, _bwd)
 
 
+def flash_attention_sharded(q, k, v, bias, scale):
+    """Mesh-aware entry point: batch-shard the kernel over the active mesh's
+    dp axis (a bare pallas_call under jit with dp-sharded operands makes XLA
+    gather everything to one device — same pattern as
+    fuser_kernel._maybe_shard_mapped). Identity wrapper off-mesh."""
+    from r3d_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None or mesh.shape.get("dp", 1) == 1 or q.shape[0] % mesh.shape["dp"]:
+        return flash_attention(q, k, v, bias, scale)
+    from jax.sharding import PartitionSpec as P
+
+    if bias is None:
+        bias = jnp.zeros((q.shape[0], 1, 1, k.shape[2]), jnp.float32)
+    f = jax.shard_map(
+        lambda q_, k_, v_, b_: flash_attention(q_, k_, v_, b_, scale),
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return f(q, k, v, bias)
+
+
 def attention_kernel_eligible(Lq: int, Lk: int, D: int) -> bool:
     """Use the kernel when sequences are long enough to matter and one
     (batch, head)'s K/V fits VMEM with headroom."""

@@ -19,7 +19,7 @@ LN backward (per row, params gamma):
 
 Exact GELU': 0.5*(1+erf(z/sqrt2)) + z * exp(-z^2/2)/sqrt(2*pi).
 
-Used by fused_safuser_tail when R3D_PALLAS_BWD=1 (default stays the
+Used by fused_safuser_tail by default (R3D_PALLAS_BWD=0 opts back into the
 XLA-remat backward); equality vs jax.vjp(composed_tail) is tested in
 tests/test_fuser_kernel.py.
 """
@@ -251,4 +251,8 @@ def pallas_tail_bwd(r, d, g, params: FuserTailParams, outer_residual: bool,
 
 
 def pallas_bwd_enabled() -> bool:
-    return os.environ.get("R3D_PALLAS_BWD", "0") == "1"
+    """Default ON since round 2: measured faster than the XLA-remat backward
+    on v5e at both B=8 (7.0 -> 6.9 ms/step) and B=64 (10.0 -> 8.9 ms/step,
+    +10%) on the fusion workload (tools/measure_r2.py). R3D_PALLAS_BWD=0
+    opts back into the remat path."""
+    return os.environ.get("R3D_PALLAS_BWD", "1") == "1"

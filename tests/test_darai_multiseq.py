@@ -105,17 +105,25 @@ def test_loader_runs_on_multiseq(darai_tree):
 def _import_ref_dataset():
     """Import the reference darai-depth dataset with torchvision stubbed
     (the module imports it at top level but the code paths we exercise never
-    touch it; torchvision is not in this image)."""
+    touch it; torchvision is not in this image). The stub is removed again
+    right after the import — a lingering fake module breaks transformers'
+    find_spec("torchvision") probing in other tests."""
     import sys
     import types
 
-    if "torchvision" not in sys.modules:
+    stubbed = "torchvision" not in sys.modules
+    if stubbed:
         tv = types.ModuleType("torchvision")
         tv.models = types.ModuleType("torchvision.models")
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tv.models
     sys.path.insert(0, "/root/reference")
-    from data.basedataset_darai_depth import BaseDataset as RefDataset
+    try:
+        from data.basedataset_darai_depth import BaseDataset as RefDataset
+    finally:
+        if stubbed:
+            sys.modules.pop("torchvision", None)
+            sys.modules.pop("torchvision.models", None)
 
     return RefDataset
 

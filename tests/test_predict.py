@@ -92,6 +92,76 @@ def test_predict_with_gifs(setup, tmp_path):
     assert len(gifs) == len(source.vid_list)
 
 
+def test_predict_multi_equals_per_obs(setup):
+    """The single-pass multi-ratio sweep must reproduce the per-ratio
+    results exactly (same videos, same compiled forwards, fuller chunks)."""
+    cfg, source, model, variables = setup
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    multi = predictor.predict_multi(
+        variables, source, [0.2, 0.3, 0.5], log=lambda *a: None
+    )
+    for obs in (0.2, 0.3, 0.5):
+        single = predictor.predict(
+            variables, source, obs_p=obs, log=lambda *a: None
+        )
+        assert set(single) == set(multi[obs])
+        for k in single:
+            np.testing.assert_allclose(multi[obs][k], single[k], atol=1e-6)
+
+
+def test_predict_l3_accuracy(disk_dataset):
+    """Models with an l3 head report predict-time L3/query accuracy
+    (reference predict_breakfast.py:121-131)."""
+    import dataclasses
+    import os
+
+    root = os.path.join(disk_dataset, "utkinect")
+    mapping = os.path.join(root, "mapping_l3.txt")
+    if not os.path.exists(mapping):
+        with open(mapping, "w") as f:
+            f.write("0 q0\n1 q1\n2 q2\n")
+
+    data_cfg = dataclasses.replace(
+        make_cfg(disk_dataset), query_mapping_file="mapping_l3.txt",
+        depth_features_dir=None,
+    )
+    cfg = get_config("utkinects").replace(
+        data=data_cfg,
+        model=dataclasses.replace(
+            small_model_cfg(), model="futr_unsupervised", query_num=3,
+        ),
+        train=TrainConfig(loop="unsupervised", min_train_batch=0),
+    )
+    source = build_source(cfg.data, "train_split.txt")
+    model = build_model(cfg.model, source.n_class)
+    v = source.load_video(source.vid_list[0])
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(v["features"][None], jnp.float32),
+        jnp.asarray(v["query_idx"][None]),
+        None, train=False,
+    )
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    res = predictor.predict(variables, source, obs_p=0.5, log=lambda *a: None)
+    assert "l3_acc" in res and 0.0 <= res["l3_acc"] <= 1.0
+
+    # oracle: recount from the same chunked forwards (the l3 stream attends
+    # ACROSS THE BATCH — reference quirk COMPAT #17 — so per-video forwards
+    # are intentionally not comparable; this pins the counting/masking logic)
+    it_groups = predictor._prepare(source, 0.5)
+    (S, items), = it_groups.items()
+    correct = total = 0
+    for start in range(0, len(items), predictor.eval_batch):
+        chunk = items[start : start + predictor.eval_batch]
+        outputs = predictor._forward_batch(variables, chunk, S)
+        for i, it in enumerate(chunk):
+            r = it["real_s"]
+            pred = np.argmax(outputs["l3"][i][:r], axis=-1)
+            correct += int(np.sum(pred == it["query"][:r]))
+            total += r
+    np.testing.assert_allclose(res["l3_acc"], correct / total, atol=1e-6)
+
+
 def test_predict_query_conditioned_model(disk_dataset, tmp_path):
     """futr_proposed (gt-query conditioning) through the MoC sweep
     (reference predict_with_query / predict.py:74 protocol)."""
