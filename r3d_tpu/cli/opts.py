@@ -36,6 +36,9 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
                    help="run tag baked into checkpoint dirs (main_utkinects.py:185)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the rolling seed_{s}_last checkpoint")
+    p.add_argument("--ensemble", action="store_true",
+                   help="predict: average seed checkpoints' logits in one "
+                        "sweep instead of averaging per-seed accuracies")
     # training (opts.py:72-88)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--test_batch_size", type=int, default=1)
@@ -129,4 +132,4 @@ def run_from_argv(default_config: str, argv=None):
     config = config_from_args(args)
     mode = "predict" if args.predict else args.mode
     return main(config, mode=mode, dataset_ops=args.dataset_ops,
-                resume=args.resume)
+                resume=args.resume, ensemble=args.ensemble)

@@ -83,8 +83,12 @@ def train(config: Config, seed: int, dataset_ops: str = "",
 
 
 def predict(config: Config, dataset_ops: str = "", seeds=None,
-            source: Optional[VideoSource] = None, log=print) -> Dict[str, Dict[str, float]]:
-    """Obs-ratio sweep x seed average (main_utkinects.py:138-165)."""
+            source: Optional[VideoSource] = None, log=print,
+            ensemble: bool = False) -> Dict[str, Dict[str, float]]:
+    """Obs-ratio sweep x seed average (main_utkinects.py:138-165).
+
+    ``ensemble=True``: one sweep with the seed checkpoints' output heads
+    averaged (logit ensemble) instead of averaging per-seed accuracies."""
     _, val_name = _splits(config)
     if source is None:
         source = build_source(config.data, val_name)
@@ -107,18 +111,29 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
     # checkpoint restores once instead of once per ratio. The reference runs
     # a fresh per-(ratio, seed) pass (main_utkinects.py:138-165); accuracies
     # average across seeds the same way.
-    per_seed: list = []
+    seed_variables = []
     for seed in seeds:
         if not ckpt.has(f"seed_{seed}_best"):
             log(f"missing checkpoint seed_{seed}_best — skipping")
             continue
         state = ckpt.restore_best(seed, template)
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        seed_variables.append(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+    per_seed: list = []
+    if ensemble and seed_variables:
         per_seed.append(
             predictor.predict_multi(
-                variables, source, list(config.eval.obs_percs), log=log
+                seed_variables, source, list(config.eval.obs_percs), log=log
             )
         )
+    else:
+        for variables in seed_variables:
+            per_seed.append(
+                predictor.predict_multi(
+                    variables, source, list(config.eval.obs_percs), log=log
+                )
+            )
     all_results: Dict[str, Dict[str, float]] = {}
     for obs_p in config.eval.obs_percs:
         rs = [r[obs_p] for r in per_seed if obs_p in r]
@@ -130,10 +145,10 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
 
 
 def main(config: Config, mode: str = "train", dataset_ops: str = "", log=print,
-         resume: bool = False):
+         resume: bool = False, ensemble: bool = False):
     if mode in ("train", "train_eval"):
         for seed in config.train.seeds:
             log(f"=== training seed {seed} ===")
             train(config, seed, dataset_ops, log=log, resume=resume)
     if mode in ("predict", "train_eval"):
-        return predict(config, dataset_ops, log=log)
+        return predict(config, dataset_ops, log=log, ensemble=ensemble)

@@ -72,6 +72,11 @@ class DataConfig:
         ("camera_1_fps_15", "depth_1"),
         ("camera_2_fps_15", "depth_2"),
     )
+    # raw-frame ablation (basedataset_utkinects_raw.py:80-104): features_dir
+    # holds one FOLDER of numbered .jpg frames per video (resized to
+    # raw_frame_wh, /255), depth_features_dir one folder of Kinect XMLs.
+    raw_frames: bool = False
+    raw_frame_wh: Tuple[int, int] = (224, 168)  # cv2.resize (width, height)
 
 
 @dataclass(frozen=True)

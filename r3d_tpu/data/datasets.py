@@ -191,12 +191,61 @@ class VideoSource:
         self._meta[key] = meta
         return meta
 
+    def _load_raw_video(self, vid_file: str, meta: Dict) -> Dict:
+        """Raw-frame ablation (basedataset_utkinects_raw.py:80-104): jpgs
+        sorted by their embedded number -> resize -> /255; depth from one
+        Kinect XML per frame."""
+        import re
+
+        import cv2
+
+        from r3d_tpu.data.preprocess.depth import kinect_xml_to_depth
+
+        num = lambda s: int(re.search(r"\d+", s).group())
+        base = self._base(vid_file)
+        img_folder = os.path.join(self.features_path, base)
+        frames = []
+        for f in sorted(
+            (f for f in os.listdir(img_folder) if f.endswith(".jpg")), key=num
+        ):
+            img = cv2.imread(os.path.join(img_folder, f), cv2.IMREAD_COLOR)
+            img = cv2.resize(img, tuple(self.cfg.raw_frame_wh))
+            frames.append(img / 255.0)
+        video = dict(meta, features=np.array(frames, np.float32))
+        if self.depth_path is not None:
+            depth_folder = os.path.join(self.depth_path, base)
+
+            def load_depth(f):
+                d = kinect_xml_to_depth(os.path.join(depth_folder, f))
+                h, w = d.shape
+                # the reference passes (h/2, w/2) as cv2's (width, height)
+                # dsize — an axis swap it ships with; reproduced exactly
+                # (basedataset_utkinects_raw.py:66-70, COMPAT.md)
+                d = cv2.resize(d, (int(h / 2), int(w / 2)))
+                d = cv2.normalize(d, None, 0, 255, cv2.NORM_MINMAX)
+                return np.uint8(d)
+
+            depth = [
+                load_depth(f)
+                for f in sorted(
+                    (f for f in os.listdir(depth_folder) if f.endswith(".xml")),
+                    key=num,
+                )
+            ]
+            video["depth"] = np.array(depth, np.float32)
+        return video
+
     def load_video(self, vid: str, seq: Optional[int] = None) -> Dict:
         vid_file = vid.split("/")[-1]
         key = self._meta_key(vid_file, seq)
         if key in self._cache:
             return self._cache[key]
         meta = self.load_meta(vid, seq)
+        if self.cfg.raw_frames:
+            video = self._load_raw_video(vid_file, meta)
+            if self.cache == "ram":
+                self._cache[key] = video
+            return video
         feats = np.load(self._feature_file(vid_file, seq))
         if self.cfg.features_transposed:
             feats = feats.T
@@ -227,7 +276,8 @@ class VideoSource:
     def make_example(self, vid: str, obs_perc: float, sample_rate: int,
                      n_query: int, seq: Optional[int] = None) -> Example:
         vid_file = vid.split("/")[-1]
-        if self.cache == "native" and seq is None and not self.cfg.multi_sequence:
+        if (self.cache == "native" and seq is None
+                and not self.cfg.multi_sequence and not self.cfg.raw_frames):
             from r3d_tpu.data import native
             from r3d_tpu.data.protocol import make_example_from_indices
 

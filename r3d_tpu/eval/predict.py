@@ -140,7 +140,16 @@ class Predictor:
         elif self.needs_query:
             args.append(jnp.asarray(query) if query is not None else None)
         args.append(jnp.asarray(mask))
-        outputs = self._jit_forward(variables, *args)
+        if isinstance(variables, (list, tuple)):
+            # seed-ensemble: average the output heads (logits/durations)
+            # across checkpoints — an extension over the reference, which
+            # averages per-seed ACCURACIES (main_utkinects.py:152-165)
+            outs = [self._jit_forward(v, *args) for v in variables]
+            outputs = {
+                k: sum(o[k] for o in outs) / len(outs) for k in outs[0]
+            }
+        else:
+            outputs = self._jit_forward(variables, *args)
         return {k: np.array(v[:n], np.float32) for k, v in outputs.items()}
 
     def _accumulate(self, it: Dict, outputs: Dict, i: int, acc, stats: Dict,

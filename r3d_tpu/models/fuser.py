@@ -382,7 +382,8 @@ class CMFuserGrad(nn.Module):
 class CMFuserVary(nn.Module):
     """Vary ablation (futr_safuser_tokenfusion_vary.py): activation-magnitude
     ranking always; exchanged channels become α·other (no blend of own);
-    α initialized to ones."""
+    α initialized to ones; NO outer residual (the vary file comments out
+    ``x = x + x_res`` that the grad variant keeps, _vary.py:79-81)."""
 
     dim: int
     depth: int = 1
@@ -410,7 +411,7 @@ class CMFuserVary(nn.Module):
 
         stacked = jnp.stack([ex_rgb, ex_depth], axis=2)
         return _SAFuserCore(
-            self.dim, self.depth, self.n_head, outer_residual=True,
+            self.dim, self.depth, self.n_head, outer_residual=False,
             two_token_exact=self.two_token_exact, drop_rate=self.drop_rate,
             use_pallas=self.use_pallas, dtype=self.dtype, name="safuser",
         )(stacked, deterministic=not train)

@@ -109,6 +109,29 @@ def test_predict_multi_equals_per_obs(setup):
             np.testing.assert_allclose(multi[obs][k], single[k], atol=1e-6)
 
 
+def test_predict_seed_ensemble(setup):
+    """Logit ensembling: [v, v] must equal the single-checkpoint sweep, and
+    two genuinely different checkpoints must produce a valid sweep."""
+    cfg, source, model, variables = setup
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    single = predictor.predict(variables, source, obs_p=0.3, log=lambda *a: None)
+    same = predictor.predict([variables, variables], source, obs_p=0.3,
+                             log=lambda *a: None)
+    for k in single:
+        np.testing.assert_allclose(same[k], single[k], atol=1e-6)
+
+    v = source.load_video(source.vid_list[0])
+    other = model.init(
+        jax.random.PRNGKey(7),
+        jnp.asarray(v["features"][None], jnp.float32),
+        jnp.asarray(v["depth"][None], jnp.float32),
+        None, train=False,
+    )
+    mixed = predictor.predict([variables, other], source, obs_p=0.3,
+                              log=lambda *a: None)
+    assert 0.0 <= mixed["obs30_pred50"] <= 1.0
+
+
 def test_predict_l3_accuracy(disk_dataset):
     """Models with an l3 head report predict-time L3/query accuracy
     (reference predict_breakfast.py:121-131)."""
