@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main():
+def main(profile_dir: str = None):
     from r3d_tpu.config import get_config
     from r3d_tpu.data.pipeline import BucketedLoader
     from r3d_tpu.data.synthetic import SyntheticSource
@@ -78,6 +78,13 @@ def main():
         float(m["loss"])  # forces the whole donated-state chain
         train_sec = min(train_sec, (time.time() - t0) / n_steps)
     train_cps = B / train_sec
+
+    if profile_dir:
+        # one profiled window for TensorBoard (xprof) inspection
+        with jax.profiler.trace(profile_dir):
+            for i in range(5):
+                state, m = step(state, batch, jax.random.fold_in(rng, 99 + i), 0)
+            float(m["loss"])
 
     # inference throughput (no erank analysis metric in the serving path)
     eval_step = trainer.make_eval_step()
@@ -152,4 +159,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="also dump a TensorBoard (xprof) trace of 5 steps")
+    main(profile_dir=p.parse_args().profile)

@@ -124,6 +124,16 @@ class ModelConfig:
     # LOSES ~6% on the fusion workload (h128, BN/blend elementwise-bound),
     # so fusion configs default fp32 and the wide futr configs set bfloat16.
     compute_dtype: str = "float32"
+    # Dtype for ONLY the wide input projections (input_embed 2048->h and
+    # depth_projection H*W->h — the fusion model's FLOPs live there). None
+    # follows compute_dtype; 'bfloat16' runs those matmuls on the MXU in
+    # bf16 (fp32 accumulation) while the BN/fuser/transformer stay fp32.
+    # Measured (same-process interleaved A/B, v5e): LOSES ~3-12% on the
+    # fusion shape at B=8 and B=64 — the device-side bf16 cast of the
+    # [B,S,19200] depth stream costs an extra HBM pass that exceeds the
+    # matmul savings. Stays None by default; the knob remains for hosts
+    # that feed bf16 batches directly.
+    embed_dtype: Optional[str] = None
     use_pallas: bool = True             # fused Pallas kernels where profitable
 
 

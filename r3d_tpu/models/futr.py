@@ -27,6 +27,11 @@ def _dtype(cfg: ModelConfig) -> jnp.dtype:
     return jnp.dtype(cfg.compute_dtype)
 
 
+def _embed_dtype(cfg: ModelConfig) -> jnp.dtype:
+    """Dtype for the wide input projections only (config.embed_dtype)."""
+    return jnp.dtype(cfg.embed_dtype or cfg.compute_dtype)
+
+
 class InputEmbed(nn.Module):
     """2048-d features (or gt label ids) -> hidden, ReLU (futr.py:71-75)."""
 
@@ -43,10 +48,10 @@ class InputEmbed(nn.Module):
             )(src.astype(jnp.int32))
         else:
             emb = nn.Dense(
-                cfg.hidden_dim, kernel_init=xavier, dtype=_dtype(cfg),
+                cfg.hidden_dim, kernel_init=xavier, dtype=_embed_dtype(cfg),
                 name="input_embed",
-            )(src.astype(_dtype(cfg)))
-        return nn.relu(emb)
+            )(src.astype(_embed_dtype(cfg)))
+        return nn.relu(emb).astype(_dtype(cfg))
 
 
 class Heads(nn.Module):

@@ -42,12 +42,14 @@ class DepthEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, depth: jnp.ndarray) -> jnp.ndarray:
+        from r3d_tpu.models.futr import _embed_dtype
+
         B, S = depth.shape[0], depth.shape[1]
-        flat = depth.reshape(B, S, -1).astype(_dtype(self.cfg))
+        flat = depth.reshape(B, S, -1).astype(_embed_dtype(self.cfg))
         h = nn.Dense(
-            self.cfg.hidden_dim, kernel_init=xavier, dtype=_dtype(self.cfg),
-            name="depth_projection",
-        )(flat)
+            self.cfg.hidden_dim, kernel_init=xavier,
+            dtype=_embed_dtype(self.cfg), name="depth_projection",
+        )(flat).astype(_dtype(self.cfg))
         h = nn.LayerNorm(epsilon=1e-5, dtype=_dtype(self.cfg), name="depth_layernorm")(h)
         return nn.relu(h)
 

@@ -126,3 +126,19 @@ def test_bf16_forward_within_tolerance(feats):
             if k == "action":
                 agree = np.mean(np.argmax(a, -1) == np.argmax(b, -1))
                 assert agree > 0.9, f"{name}: argmax agreement {agree}"
+
+
+def test_mixed_embed_dtype_close_to_fp32(feats):
+    """embed_dtype='bfloat16' (bf16 on only the wide input projections) must
+    stay strictly closer to fp32 than the all-bf16 path."""
+    depth = jnp.array(np.random.RandomState(2).randn(B, S, 8, 6), jnp.float32)
+    m32 = build_model(cfg("futr_fusion_bn"), N_CLASS)
+    mmix = build_model(cfg("futr_fusion_bn", embed_dtype="bfloat16"), N_CLASS)
+    variables = m32.init(jax.random.PRNGKey(0), feats, depth, train=False)
+    out32 = m32.apply(variables, feats, depth, train=False)
+    outmix = mmix.apply(variables, feats, depth, train=False)
+    for k in ("action", "duration", "seg"):
+        a = np.array(out32[k])
+        b = np.array(outmix[k], np.float32)
+        scale = max(float(np.abs(a).max()), 1.0)
+        np.testing.assert_allclose(b, a, atol=0.02 * scale)

@@ -78,7 +78,8 @@ def make_futr_50s(compute_dtype="float32", batch_size=8):
     return trainer, state, batch
 
 
-def make_fusion(compute_dtype="float32", batch_size=8, use_pallas=True):
+def make_fusion(compute_dtype="float32", batch_size=8, use_pallas=True,
+                embed_dtype=None):
     import dataclasses
 
     from r3d_tpu.config import get_config
@@ -101,7 +102,7 @@ def make_fusion(compute_dtype="float32", batch_size=8, use_pallas=True):
             exclude_class_idx=None),
         model=dataclasses.replace(
             config.model, compute_dtype=compute_dtype, log_erank=False,
-            use_pallas=use_pallas),
+            use_pallas=use_pallas, embed_dtype=embed_dtype),
     )
     fn, n = src.make_example_fn(obs_percs=(0.99,), sample_rate=1, n_query=8)
     loader = BucketedLoader(
@@ -201,6 +202,12 @@ def main():
         bench_train("fusion_bf16_B64", tr, st, b, results, 64)
         tr, st, b = make_fusion("bfloat16", 8)
         bench_train("fusion_bf16_B8", tr, st, b, results, 8)
+
+    if "mixed" in parts:
+        # selective bf16 on ONLY the wide input projections
+        for B in (8, 64):
+            tr, st, b = make_fusion("float32", B, embed_dtype="bfloat16")
+            bench_train(f"fusion_mixed_embed_bf16_B{B}", tr, st, b, results, B)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
