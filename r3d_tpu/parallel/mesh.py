@@ -64,7 +64,10 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 # param-path regex -> PartitionSpec for tensor parallelism. Kernels are
 # [in, out]; column-parallel on the first projection, row-parallel on the
-# second so each FFN needs a single psum.
+# second so each FFN (and each attention block, Megatron-style: q/k/v
+# column-parallel = head-parallel, out_proj row-parallel) needs one psum.
+# Fuser-kernel params (safuser/qkv_kernel etc.) intentionally do NOT match:
+# those ops shard_map row-parallel over dp with replicated weights.
 _TP_RULES = [
     (r".*depth_projection.*kernel", P(None, "tp")),
     (r".*ffn/linear1/kernel", P(None, "tp")),
@@ -73,6 +76,9 @@ _TP_RULES = [
     (r".*mlp1/kernel", P(None, "tp")),
     (r".*mlp1/bias", P("tp")),
     (r".*mlp2/kernel", P("tp", None)),
+    (r".*(self|cross)_attn/[qkv]_proj/kernel", P(None, "tp")),
+    (r".*(self|cross)_attn/[qkv]_proj/bias", P("tp")),
+    (r".*(self|cross)_attn/out_proj/kernel", P("tp", None)),
 ]
 
 

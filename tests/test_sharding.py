@@ -48,6 +48,25 @@ def test_param_sharding_rules(mesh8):
     )
     assert sh["heads"]["fc"]["kernel"].spec == P()
 
+    # Megatron-style attention TP: q/k/v column-parallel, out row-parallel;
+    # fuser-kernel params stay replicated (they shard_map over dp instead)
+    attn = {
+        "transformer": {"decoder": {"layer0": {
+            "self_attn": {
+                "q_proj": {"kernel": jnp.zeros((32, 32))},
+                "out_proj": {"kernel": jnp.zeros((32, 32))},
+            },
+            "cross_attn": {"v_proj": {"kernel": jnp.zeros((32, 32))}},
+        }}},
+        "fuser": {"safuser": {"block0": {"qkv_kernel": jnp.zeros((32, 96))}}},
+    }
+    sh = param_shardings(mesh8, attn)
+    dec = sh["transformer"]["decoder"]["layer0"]
+    assert dec["self_attn"]["q_proj"]["kernel"].spec == P(None, "tp")
+    assert dec["self_attn"]["out_proj"]["kernel"].spec == P("tp", None)
+    assert dec["cross_attn"]["v_proj"]["kernel"].spec == P(None, "tp")
+    assert sh["fuser"]["safuser"]["block0"]["qkv_kernel"].spec == P()
+
 
 def test_sharded_step_matches_single_device(mesh8):
     src, cfg, loader = make_setup("futr_fusion_bn", with_depth=True)
@@ -139,3 +158,69 @@ def test_sharded_pallas_kernel_matches_composed(mesh8):
     np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(ref_grads)):
         np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-3, rtol=2e-3)
+
+
+def test_sharded_unsupervised_step_matches_single_device(mesh8):
+    """The DARai curriculum loop on the mesh: the L3 query generation
+    attends ACROSS THE BATCH (COMPAT #17), so a dp-sharded batch forces XLA
+    to insert collectives inside the step — sharded numerics must still
+    equal single-device."""
+    from r3d_tpu.config import (
+        DataConfig,
+        ModelConfig,
+        TrainConfig,
+        get_config,
+    )
+    from r3d_tpu.data.pipeline import BucketedLoader
+    from r3d_tpu.data.synthetic import SyntheticSource
+    from r3d_tpu.losses.temporal import segment_ids_from_labels
+
+    src = SyntheticSource(
+        n_videos=8, n_actions=5, vid_len_range=(60, 100), input_dim=32,
+        n_query_classes=12, seed=0,
+    )
+    cfg = get_config("synthetic").replace(
+        model=ModelConfig(
+            model="futr_unsupervised", hidden_dim=32, n_head=4,
+            n_encoder_layers=1, n_decoder_layers=1, n_query=8, input_dim=32,
+            max_pos_len=128, compute_dtype="float32", query_num=12,
+        ),
+        train=TrainConfig(
+            loop="unsupervised", batch_size=8, epochs=1, warmup_epochs=1,
+            min_train_batch=0, l3_pad_idx=10, l3_exclude_idx=11,
+            max_segments=32,
+        ),
+        data=DataConfig(dataset="synthetic", seq_buckets=(128,)),
+    )
+    fn, n = src.make_example_fn(obs_percs=(0.3, 0.5), sample_rate=1, n_query=8)
+    loader = BucketedLoader(
+        num_examples=n, make_example_fn=fn, batch_size=8, pad_idx=src.pad_idx,
+        buckets=(128,), n_query=8, with_query=True, seed=0,
+    )
+    trainer = Trainer(cfg, src.n_class)
+    batch = dict(next(iter(loader)))
+    batch["seg_ids"] = segment_ids_from_labels(batch["query_label"], None, 32)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, steps_per_epoch=2)
+    step = trainer.make_train_step()
+    rng = jax.random.PRNGKey(3)
+
+    state_copy = jax.tree.map(jnp.array, state)
+    state1, metrics1 = step(state, batch, rng, 5)
+    state = state_copy
+
+    p_sh = param_shardings(mesh8, state.params)
+    opt_sh = param_shardings(mesh8, state.opt_state)
+    sharded_state = state.replace(
+        params=jax.tree.map(jax.device_put, state.params, p_sh),
+        opt_state=jax.tree.map(jax.device_put, state.opt_state, opt_sh),
+    )
+    sharded_batch = shard_batch(batch, mesh8)
+    state2, metrics2 = step(sharded_state, sharded_batch, rng, 5)
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics2["loss"]), rtol=2e-4
+    )
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state1.params, state2.params
+    )
+    assert max(jax.tree.leaves(diff)) < 5e-4
