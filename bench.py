@@ -63,6 +63,19 @@ def main(profile_dir: str = None):
     step = trainer.make_train_step()
     rng = jax.random.PRNGKey(1)
 
+    def step_flops(step_fn, *args):
+        """XLA's own FLOP count for one compiled train step (HLO cost
+        analysis) — turns measured step time into achieved TFLOP/s."""
+        try:
+            cost = step_fn.lower(*args).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0)) or None
+        except Exception:
+            return None
+
+    flops = step_flops(step, state, batch, rng, 0)
+
     # train-step throughput: best of 3 windows (the remote-TPU tunnel in this
     # dev environment adds multi-hundred-us jitter between runs).
     # NOTE: the step donates state; keep the chain.
@@ -108,6 +121,7 @@ def main(profile_dir: str = None):
 
     tr50, st50, b50 = make_futr_50s("bfloat16", batch_size=B)
     step50 = tr50.make_train_step()
+    flops50 = step_flops(step50, st50, b50, rng, 0)
     st50, m50 = step50(st50, b50, rng, 0)
     float(m50["loss"])
     sec50 = float("inf")
@@ -151,6 +165,12 @@ def main(profile_dir: str = None):
                         round(cps50 / baseline_50s_cps, 2)
                         if baseline_50s_cps
                         else None
+                    ),
+                    "achieved_tflops": (
+                        round(flops / train_sec / 1e12, 2) if flops else None
+                    ),
+                    "50salads_achieved_tflops": (
+                        round(flops50 / sec50 / 1e12, 2) if flops50 else None
                     ),
                 },
             }

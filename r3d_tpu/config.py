@@ -108,8 +108,9 @@ class ModelConfig:
     fuser_depth: int = 1
     fuser_heads: int = 8
     fuser_dropout: float = 0.1          # embd_drop (bn:26); independent of `dropout`
-    fuser_exchange_frac: float = 0.1    # BN variant: bottom 10% (bn:58); grad variant: C//4
-    fuser_outer_residual: bool = False  # grad variant adds x+x_res (tokenfusion.py:92); BN doesn't
+    fuser_exchange_frac: float = 0.1    # BN variant: bottom 10% (bn:58); grad/vary hardcode C//4
+    # (outer residual is hardcoded per variant to match the reference: grad
+    # keeps x+x_res, BN/vary/no-exchange don't — see models/fuser.py)
     query_num: int = 49                 # L3 label vocabulary (fc_l3 head width)
     # Effective-rank regularizer (new component, paper-faithful; absent from
     # reference code — SURVEY.md §0). 0.0 disables.

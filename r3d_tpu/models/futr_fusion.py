@@ -75,11 +75,15 @@ class FUTRFusion(nn.Module):
         depth = DepthEmbed(cfg, name="depth_embed")(depth_features)
 
         fuser_cls = FUSERS[cfg.model]
-        fused = fuser_cls(
-            cfg.hidden_dim, depth=cfg.fuser_depth, n_head=cfg.fuser_heads,
+        fuser_kw = dict(
+            depth=cfg.fuser_depth, n_head=cfg.fuser_heads,
             two_token_exact=True, drop_rate=cfg.fuser_dropout,
             dtype=_dtype(cfg), name="fuser",
-        )(src, depth, train=train)
+        )
+        if cfg.model == "futr_fusion_bn":
+            # BN variant's bottom-k fraction (bn:58); grad/vary hardcode C//4
+            fuser_kw["exchange_frac"] = cfg.fuser_exchange_frac
+        fused = fuser_cls(cfg.hidden_dim, **fuser_kw)(src, depth, train=train)
 
         if cfg.model == "afft":
             # AFFT ablation: transformer bypassed entirely; heads run on the
