@@ -63,18 +63,24 @@ def main(profile_dir: str = None):
     step = trainer.make_train_step()
     rng = jax.random.PRNGKey(1)
 
-    def step_flops(step_fn, *args):
-        """XLA's own FLOP count for one compiled train step (HLO cost
-        analysis) — turns measured step time into achieved TFLOP/s."""
+    def aot_step(step_fn, *args):
+        """AOT-compile the train step ONCE and return (compiled, flops):
+        the compiled executable serves both the timed run and XLA's own
+        FLOP count (under the axon platform Lowered.cost_analysis returns
+        None pre-compile, and compiling twice would pay the multi-minute
+        tunnel compile twice)."""
+        compiled = step_fn.lower(*args).compile()
+        flops = None
         try:
-            cost = step_fn.lower(*args).compile().cost_analysis()
+            cost = compiled.cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
-            return float(cost.get("flops", 0.0)) or None
+            flops = float(cost.get("flops", 0.0)) or None
         except Exception:
-            return None
+            pass
+        return compiled, flops
 
-    flops = step_flops(step, state, batch, rng, 0)
+    step, flops = aot_step(step, state, batch, rng, 0)
 
     # train-step throughput: best of 3 windows (the remote-TPU tunnel in this
     # dev environment adds multi-hundred-us jitter between runs).
@@ -120,8 +126,7 @@ def main(profile_dir: str = None):
     from tools.measure_r2 import make_futr_50s
 
     tr50, st50, b50 = make_futr_50s("bfloat16", batch_size=B)
-    step50 = tr50.make_train_step()
-    flops50 = step_flops(step50, st50, b50, rng, 0)
+    step50, flops50 = aot_step(tr50.make_train_step(), st50, b50, rng, 0)
     st50, m50 = step50(st50, b50, rng, 0)
     float(m50["loss"])
     sec50 = float("inf")

@@ -135,7 +135,10 @@ class ModelConfig:
     # matmul savings. Stays None by default; the knob remains for hosts
     # that feed bf16 batches directly.
     embed_dtype: Optional[str] = None
-    use_pallas: bool = True             # fused Pallas kernels where profitable
+    # Gates the fused Pallas SA-Fuser kernels (the attention kernel is gated
+    # separately by ops.attention.attention_kernel_eligible + the platform
+    # check in ops.fuser_kernel.pallas_enabled).
+    use_pallas: bool = True
 
 
 @dataclass(frozen=True)

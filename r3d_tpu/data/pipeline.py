@@ -174,8 +174,10 @@ class BucketedLoader:
                             with_depth=self.with_depth, with_query=self.with_query,
                         )
                     )
-            finally:
                 q.put(stop)
+            except BaseException as e:  # surface in the consumer — a
+                q.put(e)                # swallowed error would silently
+                                        # truncate the epoch
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -183,4 +185,6 @@ class BucketedLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

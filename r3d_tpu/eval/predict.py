@@ -186,7 +186,9 @@ class Predictor:
                     [idx_to_name.get(int(x), "?") for x in prediction[:n_show]],
                     os.path.join(
                         gif_dir,
-                        f"{it['vid'].split('/')[-1].split('.')[0]}_{obs_p}.gif",
+                        f"{it['vid'].split('/')[-1].split('.')[0]}"
+                        + (f"_{it['seq']}" if it["seq"] is not None else "")
+                        + f"_{obs_p}.gif",
                     ),
                     observed_count=past_len,
                 )

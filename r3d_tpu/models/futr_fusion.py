@@ -78,7 +78,7 @@ class FUTRFusion(nn.Module):
         fuser_kw = dict(
             depth=cfg.fuser_depth, n_head=cfg.fuser_heads,
             two_token_exact=True, drop_rate=cfg.fuser_dropout,
-            dtype=_dtype(cfg), name="fuser",
+            use_pallas=cfg.use_pallas, dtype=_dtype(cfg), name="fuser",
         )
         if cfg.model == "futr_fusion_bn":
             # BN variant's bottom-k fraction (bn:58); grad/vary hardcode C//4

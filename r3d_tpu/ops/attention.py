@@ -126,10 +126,13 @@ flash_attention.defvjp(_fwd, _bwd)
 
 
 def flash_attention_sharded(q, k, v, bias, scale):
-    """Mesh-aware entry point: batch-shard the kernel over the active mesh's
-    dp axis (a bare pallas_call under jit with dp-sharded operands makes XLA
-    gather everything to one device — same pattern as
-    fuser_kernel._maybe_shard_mapped). Identity wrapper off-mesh."""
+    """Mesh-aware entry point: shard the kernel over the active mesh's dp
+    axis (batch) AND tp axis (heads, matching mesh.py's Megatron attention
+    rules — q/k/v projections are head-parallel over tp, so keeping the head
+    axis sharded here avoids an all-gather plus tp-redundant attention
+    compute). A bare pallas_call under jit with sharded operands would make
+    XLA gather everything to one device — same pattern as
+    fuser_kernel._maybe_shard_mapped. Identity wrapper off-mesh."""
     from r3d_tpu.parallel.mesh import active_mesh
 
     mesh = active_mesh()
@@ -137,13 +140,16 @@ def flash_attention_sharded(q, k, v, bias, scale):
         return flash_attention(q, k, v, bias, scale)
     from jax.sharding import PartitionSpec as P
 
+    tp = mesh.shape.get("tp", 1)
+    head_axis = "tp" if (tp > 1 and q.shape[1] % tp == 0) else None
     if bias is None:
         bias = jnp.zeros((q.shape[0], 1, 1, k.shape[2]), jnp.float32)
+    qkv_spec = P("dp", head_axis)
     f = jax.shard_map(
         lambda q_, k_, v_, b_: flash_attention(q_, k_, v_, b_, scale),
         mesh=mesh,
-        in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
-        out_specs=P("dp"),
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P("dp")),
+        out_specs=qkv_spec,
         check_vma=False,
     )
     return f(q, k, v, bias)

@@ -72,10 +72,13 @@ def test_matches_composed_at_50salads_scale():
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=3e-5)
 
 
-def test_sharded_attention_matches_on_mesh():
-    """flash_attention_sharded over the fake 8-device dp mesh: values and
-    grads == the single-device kernel (VERDICT r1 weak #4: the kernel was
-    single-device-gated)."""
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_sharded_attention_matches_on_mesh(dp, tp):
+    """flash_attention_sharded over the fake 8-device mesh: values and grads
+    == the single-device kernel (VERDICT r1 weak #4: the kernel was
+    single-device-gated). tp>1 additionally shards the HEAD axis (matching
+    mesh.py's Megatron attention rules — no all-gather, no tp-redundant
+    compute)."""
     from r3d_tpu.ops.attention import flash_attention_sharded
     from r3d_tpu.parallel.mesh import make_mesh, set_active_mesh
 
@@ -95,7 +98,7 @@ def test_sharded_attention_matches_on_mesh():
         ref_out = flash_attention(q, k, v, bias, 0.25)
         ref_g = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
 
-        mesh = make_mesh(dp=8, tp=1)
+        mesh = make_mesh(dp=dp, tp=tp)
         set_active_mesh(mesh)
         try:
             out = jax.jit(

@@ -70,3 +70,33 @@ def test_loader_length_grouping():
     shapes = [b["features"].shape[1] for b in loader]
     # grouping by bucket: the three short examples batch together
     assert sorted(shapes) == [8, 32, 32]
+
+
+def test_loader_propagates_worker_errors():
+    """An exception in the prefetch worker must surface in the consumer,
+    not silently truncate the epoch."""
+    import pytest
+
+    from r3d_tpu.data.pipeline import BucketedLoader
+
+    def bad_example(i):
+        if i == 3:
+            raise ValueError("boom at example 3")
+        import numpy as np
+
+        from r3d_tpu.data.protocol import Example
+
+        return Example(
+            features=np.zeros((10, 4), np.float32),
+            past_label=np.zeros((10,), np.int64),
+            trans_future_target=np.zeros((8,), np.int64),
+            trans_future_dur=np.zeros((8,), np.float32),
+        )
+
+    loader = BucketedLoader(
+        num_examples=6, make_example_fn=bad_example, batch_size=2,
+        pad_idx=9, buckets=(16,), n_query=8, shuffle=False,
+    )
+    with pytest.raises(ValueError, match="boom at example 3"):
+        for _ in loader:
+            pass

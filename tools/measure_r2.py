@@ -189,7 +189,10 @@ def main():
 
     if "fusion_bwd" in parts:
         for B in (8, 64):
-            os.environ.pop("R3D_PALLAS_BWD", None)
+            # pallas bwd is default-ON since round 2: the XLA leg must set
+            # R3D_PALLAS_BWD=0 explicitly (popping it would measure Pallas
+            # twice)
+            os.environ["R3D_PALLAS_BWD"] = "0"
             tr, st, b = make_fusion("float32", B)
             bench_train(f"fusion_fp32_B{B}_xla_bwd", tr, st, b, results, B)
             os.environ["R3D_PALLAS_BWD"] = "1"
