@@ -39,8 +39,9 @@ def main(profile_dir: str = None):
 
     config = get_config("utkinects")
     config = config.replace(
-        data=config.data.__class__(
-            dataset="synthetic", seq_buckets=(S,), depth_shape=(160, 120)
+        data=dataclasses.replace(
+            config.data,
+            dataset="synthetic", seq_buckets=(S,), depth_shape=(160, 120),
         ),
         train=config.train.__class__(
             loop="proposed_depth", batch_size=B, epochs=1, min_train_batch=0,
@@ -54,6 +55,7 @@ def main(profile_dir: str = None):
     loader = BucketedLoader(
         num_examples=n, make_example_fn=fn, batch_size=B, pad_idx=src.pad_idx,
         buckets=(S,), n_query=8, with_depth=True, drop_remainder=True,
+        feature_dtype=config.data.feature_dtype,
     )
     batch = next(iter(loader))
     batch = jax.tree.map(jnp.asarray, batch)  # land on device once

@@ -77,6 +77,10 @@ class DataConfig:
     # raw_frame_wh, /255), depth_features_dir one folder of Kinect XMLs.
     raw_frames: bool = False
     raw_frame_wh: Tuple[int, int] = (224, 168)  # cv2.resize (width, height)
+    # Storage dtype of the feature/depth streams in collated batches.
+    # 'bfloat16' halves the step's HBM read of the raw depth (the measured
+    # bottleneck of the fusion step at B=64 — see pipeline.pad_batch).
+    feature_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -132,8 +136,10 @@ class ModelConfig:
     # Measured (same-process interleaved A/B, v5e): LOSES ~3-12% on the
     # fusion shape at B=8 and B=64 — the device-side bf16 cast of the
     # [B,S,19200] depth stream costs an extra HBM pass that exceeds the
-    # matmul savings. Stays None by default; the knob remains for hosts
-    # that feed bf16 batches directly.
+    # matmul savings. BUT paired with DataConfig.feature_dtype='bfloat16'
+    # (bf16 batch storage: the cast is free and the depth read halves) it
+    # WINS +25% at B=64 — the fusion step is bandwidth-bound on the
+    # raw-depth read. The fusion configs ship that pairing; default None.
     embed_dtype: Optional[str] = None
     # Gates the fused Pallas SA-Fuser kernels (the attention kernel is gated
     # separately by ops.attention.attention_kernel_eligible + the platform
@@ -267,11 +273,15 @@ CONFIGS = {
         ),
         train=TrainConfig(loop="futr", batch_size=16, epochs=60, min_train_batch=0),
     ),
-    # UTKinect RGB+depth token fuser (main_utkinects.py — primary proposed path)
+    # UTKinect RGB+depth token fuser (main_utkinects.py — primary proposed path).
+    # Batches store bf16 and the wide input projections run bf16 (fp32
+    # accumulation; everything downstream fp32): +25% at B=64, neutral at
+    # B=8 — the step is bandwidth-bound on the raw-depth read (profiled +
+    # same-process A/B, ROADMAP r2).
     "utkinects": _cfg(
         name="utkinects",
-        data=DataConfig(dataset="utkinects"),
-        model=ModelConfig(model="futr_fusion_bn"),
+        data=DataConfig(dataset="utkinects", feature_dtype="bfloat16"),
+        model=ModelConfig(model="futr_fusion_bn", embed_dtype="bfloat16"),
         train=TrainConfig(loop="proposed_depth", exclude_class_idx=47, weighted_ce=True),
     ),
     # DARai multi-modal unsupervised curriculum (main_darai.py)
@@ -299,9 +309,10 @@ CONFIGS = {
         name="nturgbd",
         data=DataConfig(
             dataset="nturgbd", train_obs_percs=(0.2, 0.3, 0.5), depth_shape=(224, 224),
-            normalize_depth=True,
+            normalize_depth=True, feature_dtype="bfloat16",
         ),
-        model=ModelConfig(model="futr_fusion_bn", query_num=121),
+        model=ModelConfig(model="futr_fusion_bn", query_num=121,
+                          embed_dtype="bfloat16"),
         train=TrainConfig(loop="proposed_depth", exclude_class_idx=120, weighted_ce=True),
     ),
     # Synthetic smoke config (tests / bench without datasets on disk)

@@ -379,4 +379,5 @@ def build_loader(
         shuffle=shuffle,
         seed=seed,
         drop_remainder=drop_remainder,
+        feature_dtype=cfg.feature_dtype,
     )

@@ -40,18 +40,26 @@ def pad_batch(
     n_query: int,
     with_depth: bool = False,
     with_query: bool = False,
+    feature_dtype: str = "float32",
 ) -> Dict[str, np.ndarray]:
     """Collate examples into fixed-shape arrays.
 
     Feature/label padding values match the reference collate
     (basedataset.py:118-123): features pad with 0, labels with pad_idx.
+    ``feature_dtype``: storage dtype of the feature/depth streams —
+    'bfloat16' halves the HBM traffic of the raw-depth reads, the fusion
+    step's measured bottleneck (profile: the depth-projection fusions are
+    bandwidth-bound on the [B,S,19200] fp32 batch).
     """
+    import jax.numpy as jnp
+
+    f_dtype = jnp.bfloat16 if feature_dtype == "bfloat16" else np.float32
     max_len = max(e.features.shape[0] for e in examples)
     S = bucket_length(max_len, buckets)
     B = len(examples)
     C = examples[0].features.shape[1]
 
-    features = np.zeros((B, S, C), dtype=np.float32)
+    features = np.zeros((B, S, C), dtype=f_dtype)
     past_label = np.full((B, S), pad_idx, dtype=np.int32)
     target = np.full((B, n_query), pad_idx, dtype=np.int32)
     dur = np.full((B, n_query), float(pad_idx), dtype=np.float32)
@@ -59,7 +67,7 @@ def pad_batch(
     depth = None
     if with_depth:
         d_feat = examples[0].depth_features
-        depth = np.zeros((B, S) + d_feat.shape[1:], dtype=np.float32)
+        depth = np.zeros((B, S) + d_feat.shape[1:], dtype=f_dtype)
     query = None
     if with_query:
         q0 = examples[0].query_label
@@ -117,6 +125,7 @@ class BucketedLoader:
         drop_remainder: bool = False,
         prefetch: int = 2,
         example_lengths: Optional[Sequence[int]] = None,
+        feature_dtype: str = "float32",
     ):
         self.num_examples = num_examples
         self.make_example_fn = make_example_fn
@@ -126,6 +135,7 @@ class BucketedLoader:
         self.n_query = n_query
         self.with_depth = with_depth
         self.with_query = with_query
+        self.feature_dtype = feature_dtype
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
@@ -172,6 +182,7 @@ class BucketedLoader:
                         pad_batch(
                             examples, self.pad_idx, self.buckets, self.n_query,
                             with_depth=self.with_depth, with_query=self.with_query,
+                            feature_dtype=self.feature_dtype,
                         )
                     )
                 q.put(stop)

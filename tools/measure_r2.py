@@ -79,7 +79,7 @@ def make_futr_50s(compute_dtype="float32", batch_size=8):
 
 
 def make_fusion(compute_dtype="float32", batch_size=8, use_pallas=True,
-                embed_dtype=None):
+                embed_dtype=None, feature_dtype="float32"):
     import dataclasses
 
     from r3d_tpu.config import get_config
@@ -96,7 +96,7 @@ def make_fusion(compute_dtype="float32", batch_size=8, use_pallas=True,
     config = config.replace(
         data=dataclasses.replace(
             config.data, dataset="synthetic", seq_buckets=(S,),
-            depth_shape=(160, 120)),
+            depth_shape=(160, 120), feature_dtype=feature_dtype),
         train=dataclasses.replace(
             config.train, batch_size=batch_size, min_train_batch=0,
             exclude_class_idx=None),
@@ -108,7 +108,7 @@ def make_fusion(compute_dtype="float32", batch_size=8, use_pallas=True,
     loader = BucketedLoader(
         num_examples=n, make_example_fn=fn, batch_size=batch_size,
         pad_idx=src.pad_idx, buckets=(S,), n_query=8, with_depth=True,
-        drop_remainder=True,
+        drop_remainder=True, feature_dtype=feature_dtype,
     )
     batch = jax.tree.map(jnp.asarray, next(iter(loader)))
     trainer = Trainer(config, src.n_class)
