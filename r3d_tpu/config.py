@@ -227,6 +227,9 @@ CONFIGS = {
             depth_features_dir=None, gt_format="plain", sample_rate=6,
             features_transposed=True,
             train_obs_percs=(0.2, 0.3, 0.5), seq_buckets=(128, 256, 512, 1024, 3100),
+            # model compute is bf16; bf16 batches halve H2D (~neutral
+            # on-device at B=8, measured)
+            feature_dtype="bfloat16",
         ),
         model=ModelConfig(
             model="futr", hidden_dim=512, n_encoder_layers=2, n_decoder_layers=2,
@@ -249,6 +252,7 @@ CONFIGS = {
             features_transposed=True,
             train_obs_percs=(0.2, 0.3, 0.5),
             seq_buckets=(128, 256, 512, 1024, 3100),
+            feature_dtype="bfloat16",
         ),
         model=ModelConfig(
             model="futr_proposed", hidden_dim=512, n_encoder_layers=2,

@@ -43,7 +43,8 @@ def _chain_time(step_fn, state, batch, rng, n_steps=10, reps=3):
     return best, state
 
 
-def make_futr_50s(compute_dtype="float32", batch_size=8):
+def make_futr_50s(compute_dtype="float32", batch_size=8,
+                  feature_dtype="float32"):
     """50salads-published-shape trainer + batch on synthetic data."""
     import dataclasses
 
@@ -70,7 +71,7 @@ def make_futr_50s(compute_dtype="float32", batch_size=8):
     loader = BucketedLoader(
         num_examples=n, make_example_fn=fn, batch_size=batch_size,
         pad_idx=src.pad_idx, buckets=(S,), n_query=20, with_depth=False,
-        drop_remainder=True,
+        drop_remainder=True, feature_dtype=feature_dtype,
     )
     batch = jax.tree.map(jnp.asarray, next(iter(loader)))
     trainer = Trainer(config, src.n_class)
