@@ -124,6 +124,25 @@ def main(profile_dir: str = None):
         infer_sec = min(infer_sec, (time.time() - t0) / n_steps)
     infer_cps = B / infer_sec
 
+    # --- batch-scaling point: B=64 fusion (the dispatch cost amortizes;
+    # shows device-compute throughput rather than tunnel latency) ---
+    from tools.measure_r2 import make_fusion
+
+    tr64, st64, b64 = make_fusion(
+        "float32", 64, embed_dtype=config.model.embed_dtype,
+        feature_dtype=config.data.feature_dtype,
+    )
+    step64, _ = aot_step(tr64.make_train_step(), st64, b64, rng, 0)
+    st64, m64 = step64(st64, b64, rng, 0)
+    float(m64["loss"])
+    sec64 = float("inf")
+    for rep in range(3):
+        t0 = time.time()
+        for i in range(n_steps):
+            st64, m64 = step64(st64, b64, jax.random.fold_in(rng, i), 0)
+        float(m64["loss"])
+        sec64 = min(sec64, (time.time() - t0) / n_steps)
+
     # --- second workload: the published 50salads shape (h512/S3100, bf16) ---
     from tools.measure_r2 import make_futr_50s
 
@@ -173,6 +192,8 @@ def main(profile_dir: str = None):
                         if baseline_50s_cps
                         else None
                     ),
+                    "fusion_B64_train_clips_per_sec": round(64 / sec64, 2),
+                    "fusion_B64_train_step_ms": round(sec64 * 1e3, 2),
                     "achieved_tflops": (
                         round(flops / train_sec / 1e12, 2) if flops else None
                     ),
