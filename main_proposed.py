@@ -6,4 +6,4 @@ if __name__ == "__main__":
 
     if "--model" not in sys.argv:
         sys.argv += ["--model", "futr_proposed"]
-    run_from_argv("breakfast")
+    run_from_argv("breakfast_proposed")

@@ -2,4 +2,4 @@
 from r3d_tpu.cli.opts import run_from_argv
 
 if __name__ == "__main__":
-    run_from_argv("50salads")
+    run_from_argv("50salads_proposed")

@@ -44,6 +44,11 @@ class DataConfig:
     # gt via ACTION_MAPPING; the raw L2 stream becomes the query
     # (basedataset_proposed_50salads.py:10-66,118,132-134)
     l1_relabel: bool = False
+    # proposed-breakfast (basedataset_proposed_breakfast.py:60-66): the gt
+    # file CONTENT becomes the fine-grained query stream, and the per-frame
+    # TARGET is the coarse activity parsed from the FILENAME
+    # (basename.split('_')[-1], e.g. P03_cereals.txt -> 'cereals').
+    label_from_filename: bool = False
     query_mapping_file: Optional[str] = None  # e.g. mapping_l2.txt / mapping_l3_changed.txt
     sample_rate: int = 1                # opts.py:82-85 (bf 3, 50salads 6, darai 15, utk/ntu 1)
     # Train-time observation-ratio replication (basedataset.py:28-32 vs
@@ -276,6 +281,35 @@ CONFIGS = {
             n_query=8, max_pos_len=2000, seg_excludes_none=True,
         ),
         train=TrainConfig(loop="futr", batch_size=16, epochs=60, min_train_batch=0),
+    ),
+    # Breakfast with the L3-query channel (main_proposed.py: actions from
+    # mapping_l2.txt, query stream from mapping.txt via
+    # basedataset_proposed_breakfast). The reference file is comment-toggled
+    # to futr_baseline; the query-consuming futr_proposed (its commented
+    # sibling) is the live default here — `--model futr` reproduces the
+    # baseline toggle.
+    "breakfast_proposed": _cfg(
+        name="breakfast_proposed",
+        data=DataConfig(
+            dataset="breakfast", mapping_file="mapping_l2.txt",
+            query_mapping_file="mapping.txt", features_dir="features",
+            label_from_filename=True,
+            train_split="train.split{split}.bundle",
+            val_split="test.split{split}.bundle",
+            depth_features_dir=None, gt_format="plain", sample_rate=3,
+            features_transposed=True,
+            train_obs_percs=(0.2, 0.3, 0.5),
+            seq_buckets=(128, 256, 512, 1024, 2000),
+            feature_dtype="bfloat16",
+        ),
+        model=ModelConfig(
+            model="futr_proposed", hidden_dim=128, n_encoder_layers=2,
+            n_decoder_layers=1, n_query=8, max_pos_len=2000, query_num=48,
+            seg_excludes_none=True, compute_dtype="bfloat16",
+        ),
+        train=TrainConfig(loop="futr", batch_size=16, epochs=60,
+                          min_train_batch=0),
+        eval=EvalConfig(max_eval_len=2000),  # predict_breakfast.py:116-117
     ),
     # UTKinect RGB+depth token fuser (main_utkinects.py — primary proposed path).
     # Batches store bf16 and the wide input projections run bf16 (fp32

@@ -160,7 +160,14 @@ class VideoSource:
         labels, images, l3 = read_gt_file(
             self._gt_file(vid_file, seq), self.cfg.gt_format
         )
-        if self.cfg.l1_relabel:
+        if self.cfg.label_from_filename:
+            # proposed-breakfast: gt content = fine-grained query stream;
+            # the target activity comes from the filename
+            # (basedataset_proposed_breakfast.py:60-66)
+            l3 = labels
+            activity = self._base(vid_file).split("_")[-1]
+            labels = [activity] * len(l3)
+        elif self.cfg.l1_relabel:
             # proposed-50salads: L2 gt -> L1 targets, raw L2 rides as query
             from r3d_tpu.data.salads50 import relabel_sequence
 
