@@ -132,4 +132,5 @@ def run_from_argv(default_config: str, argv=None):
     config = config_from_args(args)
     mode = "predict" if args.predict else args.mode
     return main(config, mode=mode, dataset_ops=args.dataset_ops,
-                resume=args.resume, ensemble=args.ensemble)
+                resume=args.resume, ensemble=args.ensemble,
+                results_save_path=args.results_save_path)

@@ -84,11 +84,14 @@ def train(config: Config, seed: int, dataset_ops: str = "",
 
 def predict(config: Config, dataset_ops: str = "", seeds=None,
             source: Optional[VideoSource] = None, log=print,
-            ensemble: bool = False) -> Dict[str, Dict[str, float]]:
+            ensemble: bool = False,
+            results_save_path: Optional[str] = None) -> Dict[str, Dict[str, float]]:
     """Obs-ratio sweep x seed average (main_utkinects.py:138-165).
 
     ``ensemble=True``: one sweep with the seed checkpoints' output heads
-    averaged (logit ensemble) instead of averaging per-seed accuracies."""
+    averaged (logit ensemble) instead of averaging per-seed accuracies.
+    ``results_save_path``: write results.json (obs x metric table) plus the
+    reference-style per-obs gt/pred transcript logs there."""
     _, val_name = _splits(config)
     if source is None:
         source = build_source(config.data, val_name)
@@ -124,14 +127,16 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
     if ensemble and seed_variables:
         per_seed.append(
             predictor.predict_multi(
-                seed_variables, source, list(config.eval.obs_percs), log=log
+                seed_variables, source, list(config.eval.obs_percs), log=log,
+                dump_dir=results_save_path,
             )
         )
     else:
         for variables in seed_variables:
             per_seed.append(
                 predictor.predict_multi(
-                    variables, source, list(config.eval.obs_percs), log=log
+                    variables, source, list(config.eval.obs_percs), log=log,
+                    dump_dir=results_save_path,
                 )
             )
     all_results: Dict[str, Dict[str, float]] = {}
@@ -141,14 +146,22 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
             all_results[f"obs{obs_p}"] = {
                 k: float(np.mean([r[k] for r in rs])) for k in rs[0].keys()
             }
+    if results_save_path is not None:
+        import json
+
+        os.makedirs(results_save_path, exist_ok=True)
+        with open(os.path.join(results_save_path, "results.json"), "w") as f:
+            json.dump(all_results, f, indent=2)
     return all_results
 
 
 def main(config: Config, mode: str = "train", dataset_ops: str = "", log=print,
-         resume: bool = False, ensemble: bool = False):
+         resume: bool = False, ensemble: bool = False,
+         results_save_path: Optional[str] = None):
     if mode in ("train", "train_eval"):
         for seed in config.train.seeds:
             log(f"=== training seed {seed} ===")
             train(config, seed, dataset_ops, log=log, resume=resume)
     if mode in ("predict", "train_eval"):
-        return predict(config, dataset_ops, log=log, ensemble=ensemble)
+        return predict(config, dataset_ops, log=log, ensemble=ensemble,
+                       results_save_path=results_save_path)

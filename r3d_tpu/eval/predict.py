@@ -154,7 +154,8 @@ class Predictor:
 
     def _accumulate(self, it: Dict, outputs: Dict, i: int, acc, stats: Dict,
                     source: VideoSource, obs_p: float,
-                    gif_dir: Optional[str], frames_root: str):
+                    gif_dir: Optional[str], frames_root: str,
+                    dump: Optional[List[str]] = None):
         """Fold one video's outputs into the per-obs accumulators."""
         cfg = self.config
         sample_rate = cfg.data.sample_rate
@@ -197,6 +198,16 @@ class Predictor:
         future_sub = labels_idx[past_len : past_len + future_len][::sample_rate]
         pred_actions = np.argmax(action_logits, axis=-1)
         last_obs = labels_idx[past_len - 1]
+        if dump is not None:
+            # gt/pred transcript log (the reference's debugging dump,
+            # predict_utkinects.py:118-134/252-327 — ours appends all videos
+            # per obs file instead of truncating per video)
+            vid_tag = it["vid"] + (f"::{it['seq']}" if it["seq"] is not None else "")
+            dump.append(f"--- {vid_tag} (obs {obs_p}) ---")
+            dump.append("idx\tgt\tpred")
+            n = min(len(future_sub), len(pred_actions))
+            for j in range(n):
+                dump.append(f"{j}\t{int(future_sub[j])}\t{int(pred_actions[j])}")
         stats["ant"] += weighted_anticipation_accuracy(
             pred_actions, future_sub, last_obs,
             exclude_class_idx=cfg.train.exclude_class_idx,
@@ -233,6 +244,7 @@ class Predictor:
         log: Callable = print,
         gif_dir: Optional[str] = None,
         frames_root: str = "",
+        dump_dir: Optional[str] = None,
     ) -> Dict[float, Dict[str, float]]:
         """One device sweep serving EVERY observation ratio (ROADMAP #4): all
         ratios' windows bucket together, so chunks fill across ratios and one
@@ -255,6 +267,7 @@ class Predictor:
             o: dict(ant=0.0, seg=0.0, l3_correct=0, l3_total=0, n=0)
             for o in obs_list
         }
+        dumps = {o: [] for o in obs_list} if dump_dir is not None else None
         for S, items in sorted(groups.items()):
             for start in range(0, len(items), self.eval_batch):
                 chunk = items[start : start + self.eval_batch]
@@ -264,7 +277,17 @@ class Predictor:
                     self._accumulate(
                         it, outputs, i, accs[o], stats[o], source, o,
                         gif_dir, frames_root,
+                        dump=None if dumps is None else dumps[o],
                     )
+        if dumps is not None:
+            import os
+
+            os.makedirs(dump_dir, exist_ok=True)
+            for o, lines in dumps.items():
+                with open(
+                    os.path.join(dump_dir, f"gt_pred_log_{o}.txt"), "w"
+                ) as f:
+                    f.write("\n".join(lines) + "\n")
 
         all_results: Dict[float, Dict[str, float]] = {}
         for o in obs_list:
