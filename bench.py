@@ -126,7 +126,7 @@ def main(profile_dir: str = None):
 
     # --- batch-scaling point: B=64 fusion (the dispatch cost amortizes;
     # shows device-compute throughput rather than tunnel latency) ---
-    from tools.measure_r2 import make_fusion
+    from tools.measure_r2 import _chain_time, make_fusion
 
     tr64, st64, b64 = make_fusion(
         "float32", 64, embed_dtype=config.model.embed_dtype,
@@ -135,13 +135,7 @@ def main(profile_dir: str = None):
     step64, _ = aot_step(tr64.make_train_step(), st64, b64, rng, 0)
     st64, m64 = step64(st64, b64, rng, 0)
     float(m64["loss"])
-    sec64 = float("inf")
-    for rep in range(3):
-        t0 = time.time()
-        for i in range(n_steps):
-            st64, m64 = step64(st64, b64, jax.random.fold_in(rng, i), 0)
-        float(m64["loss"])
-        sec64 = min(sec64, (time.time() - t0) / n_steps)
+    sec64, st64 = _chain_time(step64, st64, b64, rng, n_steps=n_steps)
 
     # --- second workload: the published 50salads shape (h512/S3100, bf16) ---
     from tools.measure_r2 import make_futr_50s

@@ -115,28 +115,45 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
     # a fresh per-(ratio, seed) pass (main_utkinects.py:138-165); accuracies
     # average across seeds the same way.
     seed_variables = []
+    found_seeds = []
     for seed in seeds:
-        if not ckpt.has(f"seed_{seed}_best"):
+        if ckpt.has(f"seed_{seed}_best"):
+            state = ckpt.restore_best(seed, template)
+        elif ckpt.has(f"seed_{seed}_last"):
+            # a run whose val accuracy never improved past 0 saves no "best"
+            # (strict-improvement rule, as the reference); fall back to the
+            # rolling last checkpoint rather than skipping the seed
+            log(f"seed_{seed}_best missing — using seed_{seed}_last")
+            state = ckpt.restore_last(seed, template)
+        else:
             log(f"missing checkpoint seed_{seed}_best — skipping")
             continue
-        state = ckpt.restore_best(seed, template)
         seed_variables.append(
             {"params": state.params, "batch_stats": state.batch_stats}
         )
+        found_seeds.append(seed)
     per_seed: list = []
     if ensemble and seed_variables:
         per_seed.append(
             predictor.predict_multi(
                 seed_variables, source, list(config.eval.obs_percs), log=log,
-                dump_dir=results_save_path,
+                dump_dir=(
+                    os.path.join(results_save_path, "ensemble")
+                    if results_save_path else None
+                ),
             )
         )
     else:
-        for variables in seed_variables:
+        for seed, variables in zip(found_seeds, seed_variables):
             per_seed.append(
                 predictor.predict_multi(
                     variables, source, list(config.eval.obs_percs), log=log,
-                    dump_dir=results_save_path,
+                    # per-seed subdir: one predict_multi call truncates its
+                    # own log files, so seeds must not share them
+                    dump_dir=(
+                        os.path.join(results_save_path, f"seed_{seed}")
+                        if results_save_path else None
+                    ),
                 )
             )
     all_results: Dict[str, Dict[str, float]] = {}

@@ -261,7 +261,11 @@ CONFIGS = {
         ),
         model=ModelConfig(
             model="futr_proposed", hidden_dim=512, n_encoder_layers=2,
-            n_decoder_layers=2, n_query=20, max_pos_len=3100, query_num=19,
+            n_decoder_layers=2, n_query=20, max_pos_len=3100,
+            # 19 L2 classes + the query pad slot (the reference collate pads
+            # queries with id 19, which its own Embedding(19) cannot index —
+            # COMPAT #26)
+            query_num=20,
             seg_excludes_none=True, compute_dtype="bfloat16",
         ),
         train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0),
@@ -304,7 +308,8 @@ CONFIGS = {
         ),
         model=ModelConfig(
             model="futr_proposed", hidden_dim=128, n_encoder_layers=2,
-            n_decoder_layers=1, n_query=8, max_pos_len=2000, query_num=48,
+            n_decoder_layers=1, n_query=8, max_pos_len=2000,
+            query_num=49,  # 48 fine classes + query pad slot (COMPAT #26)
             seg_excludes_none=True, compute_dtype="bfloat16",
         ),
         train=TrainConfig(loop="futr", batch_size=16, epochs=60,

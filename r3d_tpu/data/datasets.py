@@ -387,4 +387,11 @@ def build_loader(
         seed=seed,
         drop_remainder=drop_remainder,
         feature_dtype=cfg.feature_dtype,
+        # query streams pad with the QUERY vocab's pad id (reference
+        # query_pad_idx = len(query_dict), e.g. 48 for the 48-class
+        # mapping.txt, basedataset_proposed_breakfast.py:16) — the coarse
+        # pad_idx is a valid fine-action id
+        query_pad_idx=(
+            len(source.query_dict) if source.query_dict is not None else None
+        ),
     )

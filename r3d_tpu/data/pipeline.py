@@ -41,11 +41,16 @@ def pad_batch(
     with_depth: bool = False,
     with_query: bool = False,
     feature_dtype: str = "float32",
+    query_pad_idx: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Collate examples into fixed-shape arrays.
 
     Feature/label padding values match the reference collate
     (basedataset.py:118-123): features pad with 0, labels with pad_idx.
+    Integer query streams pad with ``query_pad_idx`` — the QUERY vocabulary's
+    pad id (reference query_pad_idx=48,
+    basedataset_proposed_breakfast.py:16,147), NOT the coarse-action pad_idx
+    (which is a valid fine-action id). Falls back to pad_idx when not given.
     ``feature_dtype``: storage dtype of the feature/depth streams —
     'bfloat16' halves the HBM traffic of the raw-depth reads, the fusion
     step's measured bottleneck (profile: the depth-projection fusions are
@@ -75,7 +80,8 @@ def pad_batch(
             # continuous query stream (gaze [S, 2]): zero-pad
             query = np.zeros((B, S) + q0.shape[1:], dtype=np.float32)
         else:
-            query = np.full((B, S), pad_idx, dtype=np.int32)
+            qpad = pad_idx if query_pad_idx is None else query_pad_idx
+            query = np.full((B, S), qpad, dtype=np.int32)
 
     for i, e in enumerate(examples):
         s = min(e.features.shape[0], S)
@@ -126,6 +132,7 @@ class BucketedLoader:
         prefetch: int = 2,
         example_lengths: Optional[Sequence[int]] = None,
         feature_dtype: str = "float32",
+        query_pad_idx: Optional[int] = None,
     ):
         self.num_examples = num_examples
         self.make_example_fn = make_example_fn
@@ -136,6 +143,7 @@ class BucketedLoader:
         self.with_depth = with_depth
         self.with_query = with_query
         self.feature_dtype = feature_dtype
+        self.query_pad_idx = query_pad_idx
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
@@ -183,6 +191,7 @@ class BucketedLoader:
                             examples, self.pad_idx, self.buckets, self.n_query,
                             with_depth=self.with_depth, with_query=self.with_query,
                             feature_dtype=self.feature_dtype,
+                            query_pad_idx=self.query_pad_idx,
                         )
                     )
                 q.put(stop)

@@ -136,19 +136,25 @@ def flash_attention_sharded(q, k, v, bias, scale):
     from r3d_tpu.parallel.mesh import active_mesh
 
     mesh = active_mesh()
-    if mesh is None or mesh.shape.get("dp", 1) == 1 or q.shape[0] % mesh.shape["dp"]:
+    if mesh is None or mesh.size == 1:
         return flash_attention(q, k, v, bias, scale)
     from jax.sharding import PartitionSpec as P
 
+    dp = mesh.shape.get("dp", 1)
     tp = mesh.shape.get("tp", 1)
+    batch_axis = "dp" if (dp > 1 and q.shape[0] % dp == 0) else None
     head_axis = "tp" if (tp > 1 and q.shape[1] % tp == 0) else None
+    if batch_axis is None and head_axis is None:
+        # nothing shardable on this mesh: the composed path partitions
+        # cleanly under jit; a bare pallas_call would gather to one device
+        return composed_attention(q, k, v, bias, scale)
     if bias is None:
         bias = jnp.zeros((q.shape[0], 1, 1, k.shape[2]), jnp.float32)
-    qkv_spec = P("dp", head_axis)
+    qkv_spec = P(batch_axis, head_axis)
     f = jax.shard_map(
         lambda q_, k_, v_, b_: flash_attention(q_, k_, v_, b_, scale),
         mesh=mesh,
-        in_specs=(qkv_spec, qkv_spec, qkv_spec, P("dp")),
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(batch_axis)),
         out_specs=qkv_spec,
         check_vma=False,
     )

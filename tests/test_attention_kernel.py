@@ -72,7 +72,7 @@ def test_matches_composed_at_50salads_scale():
     np.testing.assert_allclose(np.array(out), np.array(ref), atol=3e-5)
 
 
-@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (1, 2)])
 def test_sharded_attention_matches_on_mesh(dp, tp):
     """flash_attention_sharded over the fake 8-device mesh: values and grads
     == the single-device kernel (VERDICT r1 weak #4: the kernel was
@@ -98,7 +98,7 @@ def test_sharded_attention_matches_on_mesh(dp, tp):
         ref_out = flash_attention(q, k, v, bias, 0.25)
         ref_g = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
 
-        mesh = make_mesh(dp=dp, tp=tp)
+        mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
         set_active_mesh(mesh)
         try:
             out = jax.jit(

@@ -100,3 +100,31 @@ def test_loader_propagates_worker_errors():
     with pytest.raises(ValueError, match="boom at example 3"):
         for _ in loader:
             pass
+
+
+def test_query_pads_with_query_vocab_pad():
+    """Integer query streams pad with the QUERY vocab's pad id, not the
+    coarse pad_idx (reference collate pads with query_pad_idx=len(vocab),
+    basedataset_proposed_50salads.py:198)."""
+    import numpy as np
+
+    from r3d_tpu.data.pipeline import pad_batch
+    from r3d_tpu.data.protocol import Example
+
+    def ex(n):
+        return Example(
+            features=np.zeros((n, 4), np.float32),
+            past_label=np.zeros((n,), np.int64),
+            trans_future_target=np.zeros((8,), np.int64),
+            trans_future_dur=np.zeros((8,), np.float32),
+            query_label=np.arange(n, dtype=np.int64) % 3,
+        )
+
+    batch = pad_batch([ex(10), ex(6)], pad_idx=11, buckets=(16,), n_query=8,
+                      with_query=True, query_pad_idx=3)
+    assert batch["query_label"][1, 6:].tolist() == [3] * 10
+    assert batch["query_label"][0, :10].max() <= 2
+    # fallback without an explicit query pad: coarse pad_idx (legacy)
+    batch = pad_batch([ex(6)], pad_idx=11, buckets=(16,), n_query=8,
+                      with_query=True)
+    assert batch["query_label"][0, 6:].tolist() == [11] * 10
