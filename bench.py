@@ -100,6 +100,28 @@ def main(profile_dir: str = None):
         train_sec = min(train_sec, (time.time() - t0) / n_steps)
     train_cps = B / train_sec
 
+    # device-side step batching (Trainer.make_multi_step, the shipped
+    # steps_per_dispatch path): one dispatch scans K train steps, amortizing
+    # host dispatch latency. Semantically identical to K single steps
+    # (tests/test_multi_step.py); this is the throughput Trainer.fit achieves
+    # with train.steps_per_dispatch=K.
+    K = 16
+    stacked = jax.tree.map(
+        lambda x: jnp.asarray(jnp.broadcast_to(x[None], (K,) + x.shape)), batch
+    )
+    multi = trainer.make_multi_step()
+    state, m = multi(state, stacked, rng, 0)  # compile
+    float(m["loss"])
+    n_disp = 4
+    multi_sec = float("inf")
+    for rep in range(3):
+        t0 = time.time()
+        for i in range(n_disp):
+            state, m = multi(state, stacked, jax.random.fold_in(rng, i), 0)
+        float(m["loss"])
+        multi_sec = min(multi_sec, (time.time() - t0) / (n_disp * K))
+    multi_cps = B / multi_sec
+
     if profile_dir:
         # one profiled window for TensorBoard (xprof) inspection
         with jax.profiler.trace(profile_dir):
@@ -169,13 +191,19 @@ def main(profile_dir: str = None):
         json.dumps(
             {
                 "metric": "fusion_train_clips_per_sec_per_chip",
-                "value": round(train_cps, 2),
+                "value": round(multi_cps, 2),
                 "unit": "clips/s",
-                "vs_baseline": round(train_cps / baseline_cps, 2),
+                "vs_baseline": round(multi_cps / baseline_cps, 2),
                 "details": {
-                    "workload": "futr_fusion_bn B=8 S=256 in=2048 depth=160x120 h=128",
+                    "workload": (
+                        "futr_fusion_bn B=8 S=256 in=2048 depth=160x120 h=128, "
+                        f"steps_per_dispatch={K} (Trainer.make_multi_step; "
+                        "equivalence-tested vs sequential steps)"
+                    ),
                     "infer_clips_per_sec": round(infer_cps, 2),
-                    "train_step_ms": round(train_sec * 1e3, 2),
+                    "train_step_ms": round(multi_sec * 1e3, 2),
+                    "single_dispatch_train_step_ms": round(train_sec * 1e3, 2),
+                    "single_dispatch_clips_per_sec": round(train_cps, 2),
                     "baseline": "torch-cpu reference (baseline_cpu.json)",
                     "device": str(jax.devices()[0]),
                     "50salads_workload": "futr B=8 S=3100 h=512 enc2 dec2 nq20 bf16",
@@ -189,7 +217,7 @@ def main(profile_dir: str = None):
                     "fusion_B64_train_clips_per_sec": round(64 / sec64, 2),
                     "fusion_B64_train_step_ms": round(sec64 * 1e3, 2),
                     "achieved_tflops": (
-                        round(flops / train_sec / 1e12, 2) if flops else None
+                        round(flops / multi_sec / 1e12, 2) if flops else None
                     ),
                     "50salads_achieved_tflops": (
                         round(flops50 / sec50 / 1e12, 2) if flops50 else None

@@ -47,6 +47,9 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--steps_per_dispatch", type=int, default=None,
+                   help="device-side step batching: one dispatch scans this "
+                        "many train steps (Trainer.make_multi_step)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--sample_rate", type=int, default=None)
     p.add_argument("--obs_perc", default=30)
@@ -103,6 +106,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         ("batch_size", "batch_size"), ("epochs", "epochs"),
         ("warmup_epochs", "warmup_epochs"), ("lr", "lr"),
         ("weight_decay", "weight_decay"),
+        ("steps_per_dispatch", "steps_per_dispatch"),
     ]:
         v = getattr(args, arg)
         if v is not None:

@@ -182,6 +182,11 @@ class TrainConfig:
     supcon_weight: float = 0.0
     supcon_samples: int = 512
     supcon_temperature: float = 0.07    # opts.py:106
+    # device-side step batching: one dispatch runs this many train steps via
+    # lax.scan over stacked micro-batches (Trainer.make_multi_step). Amortizes
+    # per-step host dispatch latency; semantically identical to sequential
+    # steps (equivalence-tested). 1 = one dispatch per step.
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

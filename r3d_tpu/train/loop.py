@@ -242,41 +242,70 @@ class Trainer:
         return total, metrics
 
     # ------------------------------------------------------------- train step
-    def make_train_step(self):
+    def _train_step_core(self, state: TrainState, batch, rng, epoch):
+        """One un-jitted train step: forward, losses, backward, AdamW, BN.
+
+        Shared by make_train_step (jit) and make_multi_step (lax.scan body);
+        pure so both paths are semantically identical.
+        """
         model, is_fusion = self.model, self.is_fusion
         tx = self.tx
-        has_bn = True  # harmless when batch_stats is empty
+        # derive the per-step dropout key INSIDE the jitted step: the
+        # caller passes one base key per epoch instead of host-splitting
+        # every step (each host-side split is an extra dispatch)
+        step_rng = jax.random.fold_in(rng, state.step)
 
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            mask = batch["past_label"] == self.pad_idx
+            if is_fusion:
+                args = (batch["features"], batch["depth_features"], mask)
+            elif self.needs_query:
+                args = (batch["features"], batch.get("query_label"), mask)
+            else:
+                args = (batch["features"], mask)
+            outputs, mutated = model.apply(
+                variables, *args, train=True,
+                rngs={"dropout": step_rng}, mutable=["batch_stats"],
+            )
+            total, metrics = self._losses(outputs, batch, epoch, train=True)
+            return total, (metrics, mutated.get("batch_stats", {}))
+
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
+        return state, metrics
+
+    def make_train_step(self):
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng, epoch):
-            # derive the per-step dropout key INSIDE the jitted step: the
-            # caller passes one base key per epoch instead of host-splitting
-            # every step (each host-side split is an extra dispatch)
-            step_rng = jax.random.fold_in(rng, state.step)
-
-            def loss_fn(params):
-                variables = {"params": params, "batch_stats": state.batch_stats}
-                mask = batch["past_label"] == self.pad_idx
-                if is_fusion:
-                    args = (batch["features"], batch["depth_features"], mask)
-                elif self.needs_query:
-                    args = (batch["features"], batch.get("query_label"), mask)
-                else:
-                    args = (batch["features"], mask)
-                outputs, mutated = model.apply(
-                    variables, *args, train=True,
-                    rngs={"dropout": step_rng}, mutable=["batch_stats"],
-                )
-                total, metrics = self._losses(outputs, batch, epoch, train=True)
-                return total, (metrics, mutated.get("batch_stats", {}))
-
-            (loss, (metrics, new_bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
-            state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
-            return state, metrics
+            return self._train_step_core(state, batch, rng, epoch)
 
         return train_step
+
+    def make_multi_step(self):
+        """One dispatch = K sequential train steps via lax.scan.
+
+        Takes a STACKED batch (every leaf [K, ...]) and runs the exact
+        single-step computation K times on device, returning the final state
+        and the per-metric SUM over the K steps. Amortizes per-step host
+        dispatch latency — the dominant cost of small steps through a remote
+        TPU — while staying bit-identical to K make_train_step() calls (the
+        per-step dropout key folds state.step, which the scan increments).
+        The reference has no equivalent (its DataLoader feeds one step per
+        Python iteration, train/train_proposed_depth.py:127).
+        """
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def multi_step(state: TrainState, stacked_batch, rng, epoch):
+            def body(state, batch):
+                return self._train_step_core(state, batch, rng, epoch)
+
+            state, per_step = jax.lax.scan(body, state, stacked_batch)
+            return state, jax.tree.map(lambda m: jnp.sum(m, axis=0), per_step)
+
+        return multi_step
 
     def make_eval_step(self):
         model, is_fusion = self.model, self.is_fusion
@@ -314,6 +343,8 @@ class Trainer:
         cfg = self.config.train
         train_step = self.make_train_step()
         eval_step = self.make_eval_step()
+        K = max(1, cfg.steps_per_dispatch)
+        multi_step = self.make_multi_step() if K > 1 else None
         rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_epoch)
 
         def host_batches(loader):
@@ -331,23 +362,61 @@ class Trainer:
                     )
                 yield batch
 
+        def dispatch_groups(gen):
+            """Group consecutive same-shape batches into stacks of K for
+            make_multi_step; partial/odd-shaped groups fall back to single
+            steps. Yields (n_steps, batch): n_steps > 1 means a stacked
+            batch with leading axis n_steps."""
+            if K == 1:
+                for b in gen:
+                    yield 1, b
+                return
+            buf, sig = [], None
+
+            def flush():
+                if len(buf) == K:
+                    yield K, {
+                        key: np.stack([b[key] for b in buf]) for key in buf[0]
+                    }
+                else:
+                    for b in buf:
+                        yield 1, b
+                buf.clear()
+
+            for b in gen:
+                s = {key: np.shape(v) for key, v in b.items()}
+                if buf and s != sig:
+                    yield from flush()
+                sig = s
+                buf.append(b)
+                if len(buf) == K:
+                    yield from flush()
+            yield from flush()
+
         def device_prefetch(gen):
             """Land the NEXT batch on device while the current step runs —
             overlaps H2D with compute (the reference's DataLoader only
             overlaps host work)."""
-            sharding = None
+            sharding = stacked_sharding = None
             if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
                 from r3d_tpu.parallel.mesh import batch_sharding
 
                 sharding = batch_sharding(self.mesh)
-            put = (
-                (lambda x: jax.device_put(x, sharding))
-                if sharding is not None
-                else jnp.asarray
-            )
+                # stacked batches [K, B, ...]: dp shards the BATCH axis (1)
+                stacked_sharding = NamedSharding(self.mesh, P(None, "dp"))
+
+            def put(x, n_steps):
+                if sharding is None:
+                    return jnp.asarray(x)
+                return jax.device_put(
+                    x, sharding if n_steps == 1 else stacked_sharding
+                )
+
             prev = None
-            for batch in gen:
-                nxt = {k: put(v) for k, v in batch.items()}
+            for n_steps, batch in gen:
+                nxt = (n_steps, {k: put(v, n_steps) for k, v in batch.items()})
                 if prev is not None:
                     yield prev
                 prev = nxt
@@ -364,10 +433,18 @@ class Trainer:
             n_batches = 0
             n_clips = 0
             epoch_rng = jax.random.fold_in(rng, epoch)
-            for batch in device_prefetch(host_batches(train_loader)):
-                state, metrics = train_step(state, batch, epoch_rng, epoch)
-                n_batches += 1
-                n_clips += batch["features"].shape[0]
+            for n_steps, batch in device_prefetch(
+                dispatch_groups(host_batches(train_loader))
+            ):
+                if n_steps > 1:
+                    # one dispatch, n_steps scanned train steps (metrics
+                    # arrive pre-summed over the stack)
+                    state, metrics = multi_step(state, batch, epoch_rng, epoch)
+                    n_clips += batch["features"].shape[0] * batch["features"].shape[1]
+                else:
+                    state, metrics = train_step(state, batch, epoch_rng, epoch)
+                    n_clips += batch["features"].shape[0]
+                n_batches += n_steps
                 for k, v in metrics.items():
                     agg_dev[k] = agg_dev.get(k, 0.0) + v
 
@@ -383,7 +460,7 @@ class Trainer:
             # validation (per epoch, as every reference loop does)
             vagg_dev: Dict[str, jnp.ndarray] = {}
             vb = 0
-            for batch in device_prefetch(iter(val_loader)):
+            for _, batch in device_prefetch((1, b) for b in val_loader):
                 metrics = eval_step(state, batch)
                 vb += 1
                 for k, v in metrics.items():
