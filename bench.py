@@ -166,13 +166,29 @@ def main(profile_dir: str = None):
     step50, flops50 = aot_step(tr50.make_train_step(), st50, b50, rng, 0)
     st50, m50 = step50(st50, b50, rng, 0)
     float(m50["loss"])
-    sec50 = float("inf")
+    sec50_single = float("inf")
     for rep in range(3):
         t0 = time.time()
         for i in range(n_steps):
             st50, m50 = step50(st50, b50, jax.random.fold_in(rng, i), 0)
         float(m50["loss"])
-        sec50 = min(sec50, (time.time() - t0) / n_steps)
+        sec50_single = min(sec50_single, (time.time() - t0) / n_steps)
+    # steps_per_dispatch also wins here (1.45x measured, tools/measure_r2):
+    # the published shape keeps ~2.6ms/step of dispatch behind the scan
+    K50 = 8
+    st50k = jax.tree.map(
+        lambda x: jnp.asarray(jnp.broadcast_to(x[None], (K50,) + x.shape)), b50
+    )
+    multi50 = tr50.make_multi_step()
+    st50, m50 = multi50(st50, st50k, rng, 0)
+    float(m50["loss"])
+    sec50 = float("inf")
+    for rep in range(3):
+        t0 = time.time()
+        for i in range(3):
+            st50, m50 = multi50(st50, st50k, jax.random.fold_in(rng, i), 0)
+        float(m50["loss"])
+        sec50 = min(sec50, (time.time() - t0) / (3 * K50))
     cps50 = B / sec50
 
     baseline_path = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
@@ -206,9 +222,15 @@ def main(profile_dir: str = None):
                     "single_dispatch_clips_per_sec": round(train_cps, 2),
                     "baseline": "torch-cpu reference (baseline_cpu.json)",
                     "device": str(jax.devices()[0]),
-                    "50salads_workload": "futr B=8 S=3100 h=512 enc2 dec2 nq20 bf16",
+                    "50salads_workload": (
+                        "futr B=8 S=3100 h=512 enc2 dec2 nq20 bf16, "
+                        f"steps_per_dispatch={K50}"
+                    ),
                     "50salads_train_clips_per_sec": round(cps50, 2),
                     "50salads_train_step_ms": round(sec50 * 1e3, 2),
+                    "50salads_single_dispatch_step_ms": round(
+                        sec50_single * 1e3, 2
+                    ),
                     "50salads_vs_baseline": (
                         round(cps50 / baseline_50s_cps, 2)
                         if baseline_50s_cps
