@@ -224,3 +224,47 @@ def test_sharded_unsupervised_step_matches_single_device(mesh8):
         lambda a, b: float(jnp.max(jnp.abs(a - b))), state1.params, state2.params
     )
     assert max(jax.tree.leaves(diff)) < 5e-4
+
+
+def test_sharded_multi_step_matches_sequential(mesh8):
+    """make_multi_step on the mesh: a stacked batch sharded [None, 'dp']
+    scans K dp-sharded steps, equal to K sequential single-device steps."""
+    src, cfg, loader = make_setup("futr_fusion_bn", with_depth=True)
+    trainer = Trainer(cfg, src.n_class)
+    batches = [b for b in loader][:2]
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), batches[0], steps_per_epoch=2
+    )
+    rng = jax.random.PRNGKey(7)
+    state_copy = jax.tree.map(jnp.array, state)
+
+    step = trainer.make_train_step()
+    for b in batches:
+        state, _ = step(state, b, rng, 0)
+    seq_state = state
+
+    stacked = {
+        k: np.stack([b[k] for b in batches]) for k in batches[0]
+    }
+    stacked_sh = {
+        k: jax.device_put(v, NamedSharding(mesh8, P(None, "dp")))
+        for k, v in stacked.items()
+    }
+    p_sh = param_shardings(mesh8, state_copy.params)
+    opt_sh = param_shardings(mesh8, state_copy.opt_state)
+    sharded_state = state_copy.replace(
+        params=jax.tree.map(jax.device_put, state_copy.params, p_sh),
+        opt_state=jax.tree.map(jax.device_put, state_copy.opt_state, opt_sh),
+        batch_stats=jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh8, P())),
+            state_copy.batch_stats,
+        ),
+    )
+    multi = trainer.make_multi_step()
+    multi_state, _ = multi(sharded_state, stacked_sh, rng, 0)
+
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        seq_state.params, multi_state.params,
+    )
+    assert max(jax.tree.leaves(diff)) < 5e-4
