@@ -88,7 +88,7 @@ def tsne_plot(
     )
     pts = tsne.fit_transform(np.asarray(embeddings))
     uniq = np.unique(labels)
-    cmap = plt.cm.get_cmap("Set1", len(uniq))
+    cmap = plt.get_cmap("Set1", len(uniq))
     color_of = {l: cmap(i) for i, l in enumerate(uniq)}
     plt.figure(figsize=(8, 6))
     plt.scatter(pts[:, 0], pts[:, 1], c=[color_of[l] for l in labels], alpha=0.7)

@@ -189,3 +189,44 @@ def test_label_dataset_with_fake_backend(tmp_path):
     assert len(lines) == 20
     img, l2, l3 = lines[0].split(",")
     assert img.startswith("frames/") and l2 in acts and l3.startswith("q")
+
+
+def test_visualization_helpers_execute(tmp_path):
+    """GIF / t-SNE / attention plots actually run and produce files
+    (reference make_gif.py, predict_utkinects.py:164-212,
+    transformer.py:305-322)."""
+    import numpy as np
+    from PIL import Image
+
+    from r3d_tpu.eval.visualize import (
+        attention_map_plot,
+        render_anticipation_gif,
+        tsne_plot,
+    )
+
+    # three tiny frames on disk (plus one missing path: the renderer must
+    # fall back to a blank frame, as predict does when frames are absent)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.png")
+        Image.fromarray(
+            (np.random.RandomState(i).rand(12, 16, 3) * 255).astype(np.uint8)
+        ).save(p)
+        paths.append(p)
+    paths.append(str(tmp_path / "missing.png"))
+
+    gif = render_anticipation_gif(
+        paths, ["a", "a", "b", "b"], ["a", "a", "b", "c"],
+        str(tmp_path / "out.gif"), observed_count=2,
+    )
+    assert os.path.getsize(gif) > 0
+
+    emb = np.random.RandomState(0).randn(30, 8).astype(np.float32)
+    lab = np.repeat(np.arange(3), 10)
+    png = tsne_plot(emb, str(tmp_path / "tsne.png"), labels=lab)
+    assert png and os.path.getsize(png) > 0
+    assert tsne_plot(emb[:1], str(tmp_path / "none.png")) is None
+
+    attn = np.random.RandomState(1).rand(8, 20).astype(np.float32)
+    amap = attention_map_plot(attn, str(tmp_path / "attn.png"))
+    assert os.path.getsize(amap) > 0
