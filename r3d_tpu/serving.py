@@ -87,20 +87,32 @@ class InferenceSession:
             order[bucket_length(v["features"].shape[0],
                                 self.config.data.seq_buckets)].append(i)
 
+        # inputs ship in the config's storage dtype (bf16 on the fusion
+        # configs, matching the shipped train path) — the raw-depth H2D is
+        # the serving bottleneck and fp32 doubles it
+        in_dtype = jnp.dtype(self.config.data.feature_dtype)  # ml_dtypes bf16-aware
+
         results: List[Optional[Dict]] = [None] * len(videos)
         for S, idxs in order.items():
             for start in range(0, len(idxs), self.max_batch):
                 chunk = idxs[start : start + self.max_batch]
-                B = self.max_batch
+                # pad the batch axis to the next power of two, not to
+                # max_batch: a single-video request must not pay an 8x
+                # inflated H2D (found by tools/measure_serving.py — 629MB
+                # fp32 depth per 1-video call); powers of two bound the
+                # compile count at log2(max_batch)+1 shapes per bucket
+                B = 1
+                while B < len(chunk):
+                    B *= 2
                 feats = np.zeros(
-                    (B, S) + videos[chunk[0]]["features"].shape[1:], np.float32
+                    (B, S) + videos[chunk[0]]["features"].shape[1:], in_dtype
                 )
                 mask = np.ones((B, S), bool)
                 mask[:, 0] = False
                 depth = None
                 if self.is_fusion:
                     depth = np.zeros(
-                        (B, S) + videos[chunk[0]]["depth"].shape[1:], np.float32
+                        (B, S) + videos[chunk[0]]["depth"].shape[1:], in_dtype
                     )
                 for j, i in enumerate(chunk):
                     r = videos[i]["features"].shape[0]
