@@ -50,6 +50,9 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
     p.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="device-side step batching: one dispatch scans this "
                         "many train steps (Trainer.make_multi_step)")
+    p.add_argument("--device_cache", action="store_true", default=None,
+                   help="land the train set in HBM once and assemble batches "
+                        "on device (data/device_cache.py); zero per-step H2D")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--sample_rate", type=int, default=None)
     p.add_argument("--obs_perc", default=30)
@@ -107,6 +110,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         ("warmup_epochs", "warmup_epochs"), ("lr", "lr"),
         ("weight_decay", "weight_decay"),
         ("steps_per_dispatch", "steps_per_dispatch"),
+        ("device_cache", "device_cache"),
     ]:
         v = getattr(args, arg)
         if v is not None:

@@ -74,10 +74,30 @@ def train(config: Config, seed: int, dataset_ops: str = "",
     from r3d_tpu.utils.metrics import MetricsLogger
 
     metrics = MetricsLogger(path, run_name=f"seed_{seed}_metrics")
-    state = trainer.fit(
-        state, train_loader, val_loader, seed, checkpointer=ckpt, log=log,
-        metrics_logger=metrics, start_epoch=start_epoch,
-    )
+    cache = None
+    if (
+        config.train.device_cache
+        and config.train.loop != "unsupervised"  # needs host-side seg_ids
+        and not config.data.raw_frames
+    ):
+        from r3d_tpu.data.device_cache import cache_from_source
+
+        try:
+            cache = cache_from_source(src, config.data, config.model.n_query)
+            log(f"device cache: {cache.nbytes >> 20} MiB in HBM, "
+                f"{cache.n_views} views")
+        except MemoryError as e:
+            log(f"device cache disabled: {e}")
+    if cache is not None:
+        state = trainer.fit_cached(
+            state, cache, val_loader, seed, checkpointer=ckpt, log=log,
+            metrics_logger=metrics, start_epoch=start_epoch,
+        )
+    else:
+        state = trainer.fit(
+            state, train_loader, val_loader, seed, checkpointer=ckpt, log=log,
+            metrics_logger=metrics, start_epoch=start_epoch,
+        )
     metrics.close()
     return trainer, state, ckpt
 

@@ -187,6 +187,11 @@ class TrainConfig:
     # per-step host dispatch latency; semantically identical to sequential
     # steps (equivalence-tested). 1 = one dispatch per step.
     steps_per_dispatch: int = 1
+    # device-resident dataset (data/device_cache.py): land the train set in
+    # HBM once, assemble batches by on-device gather — zero per-step H2D.
+    # Falls back to the host loader when the data doesn't fit (or the loop
+    # needs host-side extras, e.g. the unsupervised curriculum's seg_ids).
+    device_cache: bool = False
 
 
 @dataclass(frozen=True)
@@ -246,7 +251,8 @@ CONFIGS = {
             n_query=20, max_pos_len=3100, seg_excludes_none=True,
             compute_dtype="bfloat16",   # 1.31x at this shape (measure_r2)
         ),
-        train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0),
+        train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0,
+                          device_cache=True),
     ),
     # 50salads proposed path (main_proposed_50salads.py): L1 targets derived
     # from the L2 gt, gt-L2 query conditioning, 3-seed protocol
@@ -273,7 +279,8 @@ CONFIGS = {
             query_num=20,
             seg_excludes_none=True, compute_dtype="bfloat16",
         ),
-        train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0),
+        train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0,
+                          device_cache=True),
     ),
     # FUTR on Breakfast (scripts/bf_train.sh:2-6)
     "breakfast": _cfg(
@@ -289,7 +296,8 @@ CONFIGS = {
             model="futr", hidden_dim=128, n_encoder_layers=2, n_decoder_layers=1,
             n_query=8, max_pos_len=2000, seg_excludes_none=True,
         ),
-        train=TrainConfig(loop="futr", batch_size=16, epochs=60, min_train_batch=0),
+        train=TrainConfig(loop="futr", batch_size=16, epochs=60, min_train_batch=0,
+                          device_cache=True),
     ),
     # Breakfast with the L3-query channel (main_proposed.py: actions from
     # mapping_l2.txt, query stream from mapping.txt via
@@ -318,7 +326,7 @@ CONFIGS = {
             seg_excludes_none=True, compute_dtype="bfloat16",
         ),
         train=TrainConfig(loop="futr", batch_size=16, epochs=60,
-                          min_train_batch=0),
+                          min_train_batch=0, device_cache=True),
         eval=EvalConfig(max_eval_len=2000),  # predict_breakfast.py:116-117
     ),
     # UTKinect RGB+depth token fuser (main_utkinects.py — primary proposed path).
@@ -330,7 +338,8 @@ CONFIGS = {
         name="utkinects",
         data=DataConfig(dataset="utkinects", feature_dtype="bfloat16"),
         model=ModelConfig(model="futr_fusion_bn", embed_dtype="bfloat16"),
-        train=TrainConfig(loop="proposed_depth", exclude_class_idx=47, weighted_ce=True),
+        train=TrainConfig(loop="proposed_depth", exclude_class_idx=47, weighted_ce=True,
+                          device_cache=True),
     ),
     # DARai multi-modal unsupervised curriculum (main_darai.py)
     "darai": _cfg(
@@ -361,7 +370,8 @@ CONFIGS = {
         ),
         model=ModelConfig(model="futr_fusion_bn", query_num=121,
                           embed_dtype="bfloat16"),
-        train=TrainConfig(loop="proposed_depth", exclude_class_idx=120, weighted_ce=True),
+        train=TrainConfig(loop="proposed_depth", exclude_class_idx=120, weighted_ce=True,
+                          device_cache=True),
     ),
     # Synthetic smoke config (tests / bench without datasets on disk)
     "synthetic": _cfg(

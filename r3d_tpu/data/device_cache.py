@@ -1,0 +1,340 @@
+"""Device-resident dataset cache: whole-epoch training with zero per-step H2D.
+
+The reference feeds every step from a host DataLoader (opts.py:76,
+train/train_proposed_depth.py:127) — fine when the accelerator sits on PCIe,
+but each step still pays host collation + a host->device copy.  The featurized
+anticipation datasets are small (UTKinect: ~200 videos x ~300 frames; depth
+160x120 bf16 ~= 2.3 GB), so the TPU-first design is to land the dataset in
+HBM ONCE and assemble batches on device:
+
+- per-VIDEO arrays (features/depth/labels/query) padded to the max video
+  length — the observation-ratio replication that multiplies the reference's
+  dataset 10x (basedataset_utkinects.py:31-42) becomes an index table of
+  (video, observed_len) views instead of copies;
+- a batch is a gather: ``rows = arange(S) * sample_rate`` against the view's
+  video, masked by the view's observed window — bit-identical to the host
+  collate (``pipeline.pad_batch``), verified in tests/test_device_cache.py;
+- the gather runs INSIDE the jitted train step, so an epoch needs only a tiny
+  [steps, B] int32 index table from the host; combined with
+  ``Trainer.make_cached_multi_step`` a whole epoch is one dispatch.
+
+Transcripts (run-length encoding of the future window) stay a host-side
+precompute per view — they are [n_query]-sized and data-dependent, exactly
+what XLA should not trace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from r3d_tpu.data.pipeline import bucket_length
+from r3d_tpu.data.protocol import indices_to_transcript, pad_transcript
+
+
+@dataclasses.dataclass
+class DeviceCache:
+    """Device arrays + host-side view/bucket metadata."""
+
+    # device (jnp) arrays --------------------------------------------------
+    data: Dict[str, jnp.ndarray]
+    # data keys:
+    #   features   [V, Lf, D]   feature_dtype
+    #   labels     [V, Ll]      int32
+    #   depth      [V, Ld, ...] feature_dtype      (optional)
+    #   query      [V, Lq]/[V, Lq, 2]              (optional; int32 or f32)
+    #   len_feat / len_lab / len_depth / len_query [V] int32
+    #   view_vid   [N] int32    video index of each (video, obs_perc) view
+    #   view_nrows [N] int32    sampled observed rows of the view
+    #   view_target[N, n_query] int32
+    #   view_dur   [N, n_query] float32
+    # host metadata --------------------------------------------------------
+    n_views: int
+    nrows_host: np.ndarray          # [N] int — for bucket planning
+    sample_rate: int
+    pad_idx: int
+    query_pad_idx: Optional[int]
+    buckets: Sequence[int]
+    n_query: int
+    feature_dtype: str
+    nbytes: int
+
+    def batch_spec(self) -> Dict[str, str]:
+        """Which batch keys assemble() produces."""
+        keys = ["features", "past_label", "trans_future_target",
+                "trans_future_dur"]
+        if "depth" in self.data:
+            keys.append("depth_features")
+        if "query" in self.data:
+            keys.append("query_label")
+        return keys
+
+
+def build_cache(
+    videos: List[Dict],
+    obs_percs: Sequence[float],
+    sample_rate: int,
+    n_query: int,
+    pad_idx: int,
+    n_class: int,
+    buckets: Sequence[int],
+    feature_dtype: str = "float32",
+    query_pad_idx: Optional[int] = None,
+    max_bytes: int = 12 << 30,
+) -> DeviceCache:
+    """videos: dicts with 'features' [L,D], 'label_idx' [L] int, optional
+    'depth' [L,...] and 'query_idx' ([L] int or [L,2] float).
+
+    Raises MemoryError when the estimated device footprint exceeds
+    ``max_bytes`` — callers fall back to the host loader.
+    """
+    none_idx = n_class - 1
+    f_np = jnp.bfloat16 if feature_dtype == "bfloat16" else np.float32
+    itemsize = 2 if feature_dtype == "bfloat16" else 4
+
+    V = len(videos)
+    len_feat = np.array([v["features"].shape[0] for v in videos], np.int32)
+    len_lab = np.array([len(v["label_idx"]) for v in videos], np.int32)
+    with_depth = "depth" in videos[0]
+    with_query = videos[0].get("query_idx") is not None
+    len_depth = (
+        np.array([v["depth"].shape[0] for v in videos], np.int32)
+        if with_depth else np.zeros(V, np.int32)
+    )
+    len_query = (
+        np.array([len(v["query_idx"]) for v in videos], np.int32)
+        if with_query else np.zeros(V, np.int32)
+    )
+
+    D = videos[0]["features"].shape[1]
+    d_shape = tuple(videos[0]["depth"].shape[1:]) if with_depth else ()
+    est = (
+        V * int(len_feat.max()) * D * itemsize
+        + V * int(len_lab.max()) * 4
+        + (V * int(len_depth.max()) * int(np.prod(d_shape)) * itemsize
+           if with_depth else 0)
+    )
+    if est > max_bytes:
+        raise MemoryError(
+            f"device cache would need ~{est >> 20} MiB > budget "
+            f"{max_bytes >> 20} MiB; use the host loader"
+        )
+
+    def stack_padded(key, Lmax, dtype, fill=0):
+        out = np.full((V, Lmax) + np.shape(videos[0][key])[1:], fill, dtype)
+        for i, v in enumerate(videos):
+            out[i, : len(v[key])] = v[key]
+        return out
+
+    data: Dict[str, jnp.ndarray] = {
+        "features": jnp.asarray(
+            stack_padded("features", int(len_feat.max()), np.float32)
+        ).astype(f_np),
+        "labels": jnp.asarray(
+            stack_padded("label_idx", int(len_lab.max()), np.int32)
+        ),
+        "len_feat": jnp.asarray(len_feat),
+        "len_lab": jnp.asarray(len_lab),
+    }
+    if with_depth:
+        data["depth"] = jnp.asarray(
+            stack_padded("depth", int(len_depth.max()), np.float32)
+        ).astype(f_np)
+        data["len_depth"] = jnp.asarray(len_depth)
+    if with_query:
+        q0 = np.asarray(videos[0]["query_idx"])
+        continuous = q0.ndim > 1 or np.issubdtype(q0.dtype, np.floating)
+        data["query"] = jnp.asarray(
+            stack_padded(
+                "query_idx", int(len_query.max()),
+                np.float32 if continuous else np.int32,
+            )
+        )
+        data["len_query"] = jnp.asarray(len_query)
+
+    # ---- view table: one row per (video, obs_perc), transcripts on host
+    view_vid, view_nrows, tgts, durs = [], [], [], []
+    for vi, v in enumerate(videos):
+        idx = np.asarray(v["label_idx"])
+        vid_len = len(idx)
+        for obs in obs_percs:
+            observed = int(obs * vid_len)
+            pred = int(0.5 * vid_len)
+            past = idx[:observed][::sample_rate]
+            future = idx[observed : observed + pred][::sample_rate]
+            trans, trans_dur = indices_to_transcript(future)
+            target, dur = pad_transcript(
+                trans, trans_dur, n_query, pad_idx, none_idx
+            )
+            view_vid.append(vi)
+            view_nrows.append(len(past))
+            tgts.append(target.astype(np.int32))
+            durs.append(dur.astype(np.float32))
+
+    nrows_host = np.array(view_nrows, np.int64)
+    data.update(
+        view_vid=jnp.asarray(np.array(view_vid, np.int32)),
+        view_nrows=jnp.asarray(nrows_host.astype(np.int32)),
+        view_target=jnp.asarray(np.stack(tgts)),
+        view_dur=jnp.asarray(np.stack(durs)),
+    )
+    nbytes = sum(int(x.size) * x.dtype.itemsize for x in data.values())
+    return DeviceCache(
+        data=data,
+        n_views=len(view_vid),
+        nrows_host=nrows_host,
+        sample_rate=sample_rate,
+        pad_idx=pad_idx,
+        query_pad_idx=query_pad_idx,
+        buckets=tuple(buckets),
+        n_query=n_query,
+        feature_dtype=feature_dtype,
+        nbytes=nbytes,
+    )
+
+
+def cache_from_source(source, cfg, n_query: int,
+                      max_bytes: int = 12 << 30) -> DeviceCache:
+    """Build from a datasets.VideoSource (flat or multi-sequence layout).
+
+    Estimates the footprint from npy headers (mmap) BEFORE loading anything,
+    so an oversized dataset is rejected without first filling host RAM.
+    """
+    units = source.units()
+    if not cfg.raw_frames:
+        try:
+            est = 0
+            itemsize = 2 if cfg.feature_dtype == "bfloat16" else 4
+            lf, ld = [], []
+            for vid, seq in units:
+                vid_file = vid.split("/")[-1]
+                f = np.load(source._feature_file(vid_file, seq), mmap_mode="r")
+                lf.append(f.shape)
+                if source.depth_path is not None:
+                    d = np.load(source._depth_file(vid_file, seq), mmap_mode="r")
+                    ld.append(d.shape)
+            if lf:
+                # breakfast/50salads store [C, S] (features_transposed)
+                rows = lambda s: s[-1] if cfg.features_transposed else s[0]
+                Lmax = max(rows(s) for s in lf)
+                row_elems = (
+                    lf[0][0] if cfg.features_transposed
+                    else int(np.prod(lf[0][1:]))
+                )
+                est += len(lf) * Lmax * row_elems * itemsize
+            if ld:
+                Lmax = max(s[0] for s in ld)
+                est += len(ld) * Lmax * int(np.prod(ld[0][1:])) * itemsize
+            if est > max_bytes:
+                raise MemoryError(
+                    f"device cache would need ~{est >> 20} MiB > budget "
+                    f"{max_bytes >> 20} MiB; use the host loader"
+                )
+        except (OSError, ValueError):
+            pass  # probe is best-effort; build_cache re-checks after loading
+    videos = []
+    for vid, seq in units:
+        v = source.load_video(vid, seq)
+        videos.append(
+            {
+                "features": np.asarray(v["features"], np.float32),
+                "label_idx": np.asarray(v["label_idx"]),
+                **(
+                    {"depth": np.asarray(v["depth"], np.float32)}
+                    if v.get("depth") is not None else {}
+                ),
+                **(
+                    {"query_idx": v["query_idx"]}
+                    if v.get("query_idx") is not None else {}
+                ),
+            }
+        )
+    return build_cache(
+        videos,
+        obs_percs=cfg.train_obs_percs,
+        sample_rate=cfg.sample_rate,
+        n_query=n_query,
+        pad_idx=source.pad_idx,
+        n_class=source.n_class,
+        buckets=cfg.seq_buckets,
+        feature_dtype=cfg.feature_dtype,
+        query_pad_idx=(
+            len(source.query_dict) if source.query_dict is not None else None
+        ),
+        max_bytes=max_bytes,
+    )
+
+
+def assemble(data: Dict[str, jnp.ndarray], view_ids: jnp.ndarray, S: int,
+             sample_rate: int, pad_idx: int,
+             query_pad_idx: Optional[int]) -> Dict[str, jnp.ndarray]:
+    """Pure-jax batch assembly: gather the views' observed windows into the
+    exact arrays ``pipeline.pad_batch`` would produce (same dtypes, same
+    padding values). ``S`` is the static bucket length of this batch.
+    """
+    rows = jnp.arange(S, dtype=jnp.int32) * sample_rate          # [S]
+    vid = data["view_vid"][view_ids]                             # [B]
+    nrows = data["view_nrows"][view_ids]                         # [B]
+    j = jnp.arange(S, dtype=jnp.int32)[None, :]                  # [1, S]
+    in_view = j < nrows[:, None]                                 # [B, S]
+
+    def gather(arr, lens, fill, dtype=None):
+        safe = jnp.minimum(rows[None, :], lens[vid][:, None] - 1)
+        safe = jnp.maximum(safe, 0)
+        g = arr[vid[:, None], safe]                              # [B, S, ...]
+        ok = in_view & (rows[None, :] < lens[vid][:, None])
+        ok = ok.reshape(ok.shape + (1,) * (g.ndim - 2))
+        return jnp.where(ok, g, jnp.asarray(fill, g.dtype)).astype(
+            dtype or g.dtype
+        )
+
+    batch = {
+        "features": gather(data["features"], data["len_feat"], 0),
+        "past_label": gather(
+            data["labels"], data["len_lab"], pad_idx, jnp.int32
+        ),
+        "trans_future_target": data["view_target"][view_ids],
+        "trans_future_dur": data["view_dur"][view_ids],
+    }
+    if "depth" in data:
+        batch["depth_features"] = gather(data["depth"], data["len_depth"], 0)
+    if "query" in data:
+        q = data["query"]
+        qfill = (
+            0.0
+            if jnp.issubdtype(q.dtype, jnp.floating)
+            else (pad_idx if query_pad_idx is None else query_pad_idx)
+        )
+        batch["query_label"] = gather(q, data["len_query"], qfill)
+    return batch
+
+
+def epoch_plan(
+    cache: DeviceCache,
+    batch_size: int,
+    seed: int,
+    epoch: int,
+    shuffle: bool = True,
+    drop_remainder: bool = True,
+) -> List[tuple]:
+    """Host-side epoch plan mirroring BucketedLoader._order + batching:
+    shuffled views, consecutive chunks, each batch's bucket = smallest
+    bucket >= its longest view.  Returns [(S, idx [B] np.int32), ...].
+    """
+    order = np.arange(cache.n_views)
+    if shuffle:
+        np.random.RandomState(seed + epoch).shuffle(order)
+    plan = []
+    for i in range(0, len(order), batch_size):
+        chunk = order[i : i + batch_size]
+        if drop_remainder and len(chunk) < batch_size:
+            continue
+        S = bucket_length(
+            int(cache.nrows_host[chunk].max()), cache.buckets
+        )
+        plan.append((S, chunk.astype(np.int32)))
+    return plan

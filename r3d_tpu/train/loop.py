@@ -307,6 +307,31 @@ class Trainer:
 
         return multi_step
 
+    def make_cached_train_fn(self, cache):
+        """Train steps that ASSEMBLE their batches on device from a
+        DeviceCache (data/device_cache.py): the host sends only a tiny
+        [K, B] int32 view-index table per dispatch — no batch H2D at all.
+        ``S`` (the bucket length) is static per compilation, mirroring the
+        host loader's bucketed shapes."""
+        from r3d_tpu.data import device_cache as dc
+
+        sample_rate = cache.sample_rate
+        pad_idx = cache.pad_idx
+        query_pad_idx = cache.query_pad_idx
+
+        @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
+        def cached_multi_step(state, data, idx, rng, S, epoch):
+            def body(st, ids):
+                batch = dc.assemble(
+                    data, ids, S, sample_rate, pad_idx, query_pad_idx
+                )
+                return self._train_step_core(st, batch, rng, epoch)
+
+            state, per_step = jax.lax.scan(body, state, idx)
+            return state, jax.tree.map(lambda m: jnp.sum(m, axis=0), per_step)
+
+        return cached_multi_step
+
     def make_eval_step(self):
         model, is_fusion = self.model, self.is_fusion
 
@@ -458,14 +483,8 @@ class Trainer:
             )
 
             # validation (per epoch, as every reference loop does)
-            vagg_dev: Dict[str, jnp.ndarray] = {}
-            vb = 0
-            for _, batch in device_prefetch((1, b) for b in val_loader):
-                metrics = eval_step(state, batch)
-                vb += 1
-                for k, v in metrics.items():
-                    vagg_dev[k] = vagg_dev.get(k, 0.0) + v
-            vagg = {k: float(v) for k, v in vagg_dev.items()}
+            vagg, vb = self._validate(state, eval_step, val_loader,
+                                      device_prefetch)
             val_acc = vagg.get("cls_correct", 0.0) / max(vagg.get("cls_total", 0.0), 1.0)
             val_loss = vagg.get("loss", 0.0) / max(vb, 1)
             # uniform-weight val "weighted accuracy" — see losses docstring
@@ -492,4 +511,119 @@ class Trainer:
             if checkpointer is not None:
                 checkpointer.save_last(state, seed=seed)
 
+        return state
+
+    def _validate(self, state, eval_step, val_loader, device_prefetch=None):
+        """One pass over val_loader with device-side metric accumulation;
+        returns (float metrics dict, n_batches)."""
+        gen = ((1, b) for b in val_loader)
+        if device_prefetch is not None:
+            gen = device_prefetch(gen)
+        vagg_dev: Dict[str, jnp.ndarray] = {}
+        vb = 0
+        for _, batch in gen:
+            if device_prefetch is None:
+                batch = jax.tree.map(jnp.asarray, batch)
+            metrics = eval_step(state, batch)
+            vb += 1
+            for k, v in metrics.items():
+                vagg_dev[k] = vagg_dev.get(k, 0.0) + v
+        return {k: float(v) for k, v in vagg_dev.items()}, vb
+
+    def fit_cached(
+        self,
+        state: TrainState,
+        cache,
+        val_loader,
+        seed: int,
+        checkpointer=None,
+        log=print,
+        metrics_logger=None,
+        start_epoch: int = 0,
+    ) -> TrainState:
+        """fit() against a DeviceCache: the whole train set lives in HBM and
+        each dispatch scans up to ``steps_per_dispatch`` train steps whose
+        batches are gathered ON DEVICE (make_cached_train_fn).  Per epoch the
+        host ships only shuffled [K, B] int32 index tables — with one bucket
+        and K >= steps/epoch, an entire epoch is a single dispatch.  Loop
+        semantics (bucket padding, dropout keys, metric aggregation, the
+        best-checkpoint rule) match fit(); step equivalence is tested in
+        tests/test_device_cache.py."""
+        from r3d_tpu.data.device_cache import epoch_plan
+
+        cfg = self.config.train
+        step_fn = self.make_cached_train_fn(cache)
+        eval_step = self.make_eval_step()
+        K = max(1, cfg.steps_per_dispatch)
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_epoch)
+        data = cache.data
+
+        best_val_acc = 0.0
+        for epoch in range(start_epoch, cfg.epochs):
+            t0 = time.time()
+            plan = [
+                (S, idx)
+                for S, idx in epoch_plan(
+                    cache, cfg.batch_size, seed, epoch, drop_remainder=False
+                )
+                if len(idx) >= cfg.min_train_batch
+            ]
+            # group consecutive same-shape batches into [k<=K, B] stacks
+            groups: list = []
+            for S, idx in plan:
+                if (
+                    groups
+                    and groups[-1][0] == (S, len(idx))
+                    and len(groups[-1][1]) < K
+                ):
+                    groups[-1][1].append(idx)
+                else:
+                    groups.append([(S, len(idx)), [idx]])
+
+            agg_dev: Dict[str, jnp.ndarray] = {}
+            n_batches = 0
+            n_clips = 0
+            epoch_rng = jax.random.fold_in(rng, epoch)
+            for (S, B), idxs in groups:
+                stacked = jnp.asarray(np.stack(idxs))          # [k, B]
+                state, metrics = step_fn(
+                    state, data, stacked, epoch_rng, S, epoch
+                )
+                n_batches += len(idxs)
+                n_clips += len(idxs) * B
+                for k, v in metrics.items():
+                    agg_dev[k] = agg_dev.get(k, 0.0) + v
+
+            agg = {k: float(v) for k, v in agg_dev.items()}  # one sync
+            dt = time.time() - t0
+            loss = agg.get("loss", 0.0) / max(n_batches, 1)
+            acc = agg.get("cls_correct", 0.0) / max(agg.get("cls_total", 0.0), 1.0)
+            log(
+                f"Epoch [{epoch + 1}/{cfg.epochs}] Loss : {loss:.3f} "
+                f"Acc : {acc:.3f} ({n_clips / max(dt, 1e-9):.1f} clips/s)"
+            )
+
+            vagg, vb = self._validate(state, eval_step, val_loader)
+            val_acc = vagg.get("cls_correct", 0.0) / max(
+                vagg.get("cls_total", 0.0), 1.0
+            )
+            val_loss = vagg.get("loss", 0.0) / max(vb, 1)
+            log(
+                f"Validation Loss: {val_loss:.3f}, Class Accuracy: {val_acc:.3f}"
+            )
+            if metrics_logger is not None:
+                rec = {f"train_{k}": v / max(n_batches, 1) for k, v in agg.items()}
+                rec.update(
+                    epoch=epoch, seed=seed, train_acc=acc, val_loss=val_loss,
+                    val_acc=val_acc, clips_per_sec=n_clips / max(dt, 1e-9),
+                )
+                metrics_logger.log(rec, step=int(state.step))
+
+            if val_acc > best_val_acc:
+                best_val_acc = val_acc
+                if checkpointer is not None:
+                    checkpointer.save_best(state, seed=seed, epoch=epoch)
+                    log(f"Best model saved (val acc {val_acc:.3f})")
+            if checkpointer is not None:
+                checkpointer.save_last(state, seed=seed)
         return state

@@ -50,3 +50,18 @@ def test_session_from_checkpoint(disk_dataset, tmp_path):  # noqa: F811
     single = session.anticipate(v0["features"][:30], v0["depth"][:30],
                                 future_len=25)
     np.testing.assert_array_equal(single["future_frames"], res[0]["future_frames"])
+
+    # 5 videos at max_batch=4 -> chunks of 4 and 1; batch padding goes to
+    # the next power of two per chunk, and every result must equal the
+    # corresponding single-video call (eval-mode forward is batch-invariant)
+    lens = (30, 20, 25, 18, 22)
+    vids = [
+        {"features": v0["features"][:n], "depth": v0["depth"][:n]}
+        for n in lens
+    ]
+    res5 = session.anticipate_batch(vids, future_len=25)
+    assert len(res5) == 5 and all(r is not None for r in res5)
+    for v, r in zip(vids, res5):
+        ref = session.anticipate(v["features"], v["depth"], future_len=25)
+        np.testing.assert_array_equal(ref["transcript"], r["transcript"])
+        np.testing.assert_array_equal(ref["future_frames"], r["future_frames"])
