@@ -557,6 +557,17 @@ class Trainer:
         K = max(1, cfg.steps_per_dispatch)
         rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_epoch)
         data = cache.data
+        idx_sharding = None
+        if self.mesh is not None:
+            # dp mesh: the dataset replicates (it is small — that's why it
+            # fits in HBM), the [K, B] index tables shard over dp, and the
+            # in-step gather yields a dp-sharded batch with no collectives
+            # (tests/test_sharding.py::test_sharded_cached_steps...)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            data = jax.tree.map(lambda x: jax.device_put(x, rep), data)
+            idx_sharding = NamedSharding(self.mesh, P(None, "dp"))
 
         best_val_acc = 0.0
         for epoch in range(start_epoch, cfg.epochs):
@@ -585,7 +596,14 @@ class Trainer:
             n_clips = 0
             epoch_rng = jax.random.fold_in(rng, epoch)
             for (S, B), idxs in groups:
-                stacked = jnp.asarray(np.stack(idxs))          # [k, B]
+                stacked = np.stack(idxs)                       # [k, B]
+                if (
+                    idx_sharding is not None
+                    and B % self.mesh.shape["dp"] == 0
+                ):
+                    stacked = jax.device_put(stacked, idx_sharding)
+                else:
+                    stacked = jnp.asarray(stacked)
                 state, metrics = step_fn(
                     state, data, stacked, epoch_rng, S, epoch
                 )

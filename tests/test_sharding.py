@@ -226,6 +226,68 @@ def test_sharded_unsupervised_step_matches_single_device(mesh8):
     assert max(jax.tree.leaves(diff)) < 5e-4
 
 
+def test_sharded_cached_steps_match_single_device(mesh8):
+    """Device-cache path on the mesh: dataset arrays replicated, the [K, B]
+    index table dp-sharded — the in-step gather must produce a dp-sharded
+    batch and the scanned steps must match the unsharded cached run."""
+    from test_device_cache import (
+        BUCKETS, NQ, OBS, SR, make_source, small_cfg, source_videos,
+    )
+    from r3d_tpu.data.device_cache import build_cache, epoch_plan
+
+    src = make_source(depth=True)
+    cfg = small_cfg(src)
+    cache = build_cache(
+        source_videos(src), OBS, SR, NQ, src.pad_idx, src.n_class, BUCKETS,
+    )
+    trainer = Trainer(cfg, src.n_class)
+    plan = epoch_plan(cache, 4, seed=1, epoch=0, drop_remainder=True)
+    S0 = plan[0][0]
+    idxs = [idx for S, idx in plan if S == S0][:2]
+    stacked = np.stack(idxs)
+
+    from test_device_cache import pad_batch
+    fn, _ = src.make_example_fn(OBS, SR, NQ)
+    example = jax.tree.map(
+        jnp.asarray,
+        pad_batch([fn(int(i)) for i in idxs[0]], src.pad_idx, (S0,), NQ,
+                  with_depth=True),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(7), example, 2)
+    state_copy = jax.tree.map(jnp.array, state)
+    cached = trainer.make_cached_train_fn(cache)
+    rng = jax.random.PRNGKey(0)
+
+    ref_state, ref_metrics = cached(
+        state, cache.data, jnp.asarray(stacked), rng, S0, 0
+    )
+
+    rep = NamedSharding(mesh8, P())
+    data_sh = jax.tree.map(lambda x: jax.device_put(x, rep), cache.data)
+    idx_sh = jax.device_put(stacked, NamedSharding(mesh8, P(None, "dp")))
+    p_sh = param_shardings(mesh8, state_copy.params)
+    opt_sh = param_shardings(mesh8, state_copy.opt_state)
+    sharded_state = state_copy.replace(
+        params=jax.tree.map(jax.device_put, state_copy.params, p_sh),
+        opt_state=jax.tree.map(jax.device_put, state_copy.opt_state, opt_sh),
+        batch_stats=jax.tree.map(
+            lambda x: jax.device_put(x, rep), state_copy.batch_stats
+        ),
+    )
+    mesh_state, mesh_metrics = cached(
+        sharded_state, data_sh, idx_sh, rng, S0, 0
+    )
+
+    np.testing.assert_allclose(
+        float(ref_metrics["loss"]), float(mesh_metrics["loss"]), rtol=2e-4
+    )
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        ref_state.params, mesh_state.params,
+    )
+    assert max(jax.tree.leaves(diff)) < 5e-4
+
+
 def test_sharded_multi_step_matches_sequential(mesh8):
     """make_multi_step on the mesh: a stacked batch sharded [None, 'dp']
     scans K dp-sharded steps, equal to K sequential single-device steps."""
