@@ -84,14 +84,24 @@ def train(config: Config, seed: int, dataset_ops: str = "",
 
         try:
             cache = cache_from_source(src, config.data, config.model.n_query)
-            log(f"device cache: {cache.nbytes >> 20} MiB in HBM, "
-                f"{cache.n_views} views")
+            val_cache = cache_from_source(
+                sources["val"], config.data, config.model.n_query,
+                max_bytes=4 << 30,
+            )
+            log(f"device cache: {(cache.nbytes + val_cache.nbytes) >> 20} "
+                f"MiB in HBM, {cache.n_views}+{val_cache.n_views} views")
         except MemoryError as e:
-            log(f"device cache disabled: {e}")
+            val_cache = None
+            if cache is None:
+                log(f"device cache disabled: {e}")
+            else:
+                log(f"device cache: train only ({cache.nbytes >> 20} MiB); "
+                    f"val stays on the host loader: {e}")
     if cache is not None:
         state = trainer.fit_cached(
             state, cache, val_loader, seed, checkpointer=ckpt, log=log,
             metrics_logger=metrics, start_epoch=start_epoch,
+            val_cache=val_cache,
         )
     else:
         state = trainer.fit(

@@ -332,6 +332,29 @@ class Trainer:
 
         return cached_multi_step
 
+    def make_cached_eval_fn(self, cache):
+        """Scanned eval steps over a DeviceCache index table (validation
+        counterpart of make_cached_train_fn); metrics return pre-summed."""
+        from r3d_tpu.data import device_cache as dc
+
+        sample_rate = cache.sample_rate
+        pad_idx = cache.pad_idx
+        query_pad_idx = cache.query_pad_idx
+        eval_step = self.make_eval_step()
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def cached_eval(state, data, idx, S):
+            def body(_, ids):
+                batch = dc.assemble(
+                    data, ids, S, sample_rate, pad_idx, query_pad_idx
+                )
+                return None, eval_step(state, batch)
+
+            _, per_step = jax.lax.scan(body, None, idx)
+            return jax.tree.map(lambda m: jnp.sum(m, axis=0), per_step)
+
+        return cached_eval
+
     def make_eval_step(self):
         model, is_fusion = self.model, self.is_fusion
 
@@ -530,6 +553,22 @@ class Trainer:
                 vagg_dev[k] = vagg_dev.get(k, 0.0) + v
         return {k: float(v) for k, v in vagg_dev.items()}, vb
 
+    @staticmethod
+    def _group_same_shape(plan, K: int):
+        """Group consecutive same-(bucket, batch-size) plan entries into
+        stacks of at most K: [((S, B), [idx, ...]), ...]."""
+        groups: list = []
+        for S, idx in plan:
+            if (
+                groups
+                and groups[-1][0] == (S, len(idx))
+                and len(groups[-1][1]) < K
+            ):
+                groups[-1][1].append(idx)
+            else:
+                groups.append([(S, len(idx)), [idx]])
+        return groups
+
     def fit_cached(
         self,
         state: TrainState,
@@ -540,6 +579,7 @@ class Trainer:
         log=print,
         metrics_logger=None,
         start_epoch: int = 0,
+        val_cache=None,
     ) -> TrainState:
         """fit() against a DeviceCache: the whole train set lives in HBM and
         each dispatch scans up to ``steps_per_dispatch`` train steps whose
@@ -568,6 +608,16 @@ class Trainer:
             rep = NamedSharding(self.mesh, P())
             data = jax.tree.map(lambda x: jax.device_put(x, rep), data)
             idx_sharding = NamedSharding(self.mesh, P(None, "dp"))
+        cached_eval = val_data = None
+        if val_cache is not None:
+            # validation from HBM too: the val set assembles on device the
+            # same way (host loader validation was the last per-epoch H2D)
+            cached_eval = self.make_cached_eval_fn(val_cache)
+            val_data = val_cache.data
+            if self.mesh is not None:
+                val_data = jax.tree.map(
+                    lambda x: jax.device_put(x, rep), val_data
+                )
 
         best_val_acc = 0.0
         for epoch in range(start_epoch, cfg.epochs):
@@ -579,17 +629,7 @@ class Trainer:
                 )
                 if len(idx) >= cfg.min_train_batch
             ]
-            # group consecutive same-shape batches into [k<=K, B] stacks
-            groups: list = []
-            for S, idx in plan:
-                if (
-                    groups
-                    and groups[-1][0] == (S, len(idx))
-                    and len(groups[-1][1]) < K
-                ):
-                    groups[-1][1].append(idx)
-                else:
-                    groups.append([(S, len(idx)), [idx]])
+            groups = self._group_same_shape(plan, K)
 
             agg_dev: Dict[str, jnp.ndarray] = {}
             n_batches = 0
@@ -621,7 +661,23 @@ class Trainer:
                 f"Acc : {acc:.3f} ({n_clips / max(dt, 1e-9):.1f} clips/s)"
             )
 
-            vagg, vb = self._validate(state, eval_step, val_loader)
+            if cached_eval is not None:
+                vagg_dev: Dict[str, jnp.ndarray] = {}
+                vb = 0
+                vplan = epoch_plan(
+                    val_cache, cfg.batch_size, 0, 0, shuffle=False,
+                    drop_remainder=False,
+                )
+                for (S, _B), idxs in self._group_same_shape(vplan, K):
+                    vm = cached_eval(
+                        state, val_data, jnp.asarray(np.stack(idxs)), S
+                    )
+                    vb += len(idxs)
+                    for k, v in vm.items():
+                        vagg_dev[k] = vagg_dev.get(k, 0.0) + v
+                vagg = {k: float(v) for k, v in vagg_dev.items()}
+            else:
+                vagg, vb = self._validate(state, eval_step, val_loader)
             val_acc = vagg.get("cls_correct", 0.0) / max(
                 vagg.get("cls_total", 0.0), 1.0
             )

@@ -168,13 +168,19 @@ def test_fit_cached_equals_fit():
     val = loader(False)
     example = next(iter(val))
 
+    logs = {"host": [], "cached": []}
+    capture = lambda tag: lambda *a: logs[tag].append(" ".join(map(str, a)))
+
     t1 = Trainer(cfg, src.n_class)
     s1 = t1.init_state(jax.random.PRNGKey(7), example, 2)
-    s1 = t1.fit(s1, loader(True, seed=1), loader(False), seed=1, log=lambda *a: None)
+    s1 = t1.fit(s1, loader(True, seed=1), loader(False), seed=1,
+                log=capture("host"))
 
     t2 = Trainer(cfg, src.n_class)
     s2 = t2.init_state(jax.random.PRNGKey(7), example, 2)
-    s2 = t2.fit_cached(s2, cache, loader(False), seed=1, log=lambda *a: None)
+    # the val set assembles on device too (same cache here: synthetic source)
+    s2 = t2.fit_cached(s2, cache, None, seed=1, log=capture("cached"),
+                       val_cache=cache)
 
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(
@@ -182,6 +188,10 @@ def test_fit_cached_equals_fit():
         ),
         jax.device_get(s1.params), jax.device_get(s2.params),
     )
+    # cached validation must report the same numbers as the host val loader
+    host_val = [l for l in logs["host"] if l.startswith("Validation")]
+    cached_val = [l for l in logs["cached"] if l.startswith("Validation")]
+    assert host_val and host_val == cached_val
 
 
 def test_cache_memory_guard():
