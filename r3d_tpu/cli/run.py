@@ -129,6 +129,21 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
     model = build_model(config.model, source.n_class)
     predictor = Predictor(config, model, source.n_class)
 
+    cache_data = None
+    if config.train.device_cache and not config.data.raw_frames:
+        from r3d_tpu.data.device_cache import (
+            build_video_arrays, videos_from_source,
+        )
+
+        try:
+            cache_data = build_video_arrays(
+                videos_from_source(source, config.data),
+                config.data.feature_dtype,
+            )
+            log("predict: eval videos cached in HBM")
+        except MemoryError as e:
+            log(f"predict device cache disabled: {e}")
+
     # template state for checkpoint restore
     trainer = Trainer(config, source.n_class)
     loader = build_loader(
@@ -171,6 +186,7 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
                     os.path.join(results_save_path, "ensemble")
                     if results_save_path else None
                 ),
+                cache_data=cache_data,
             )
         )
     else:
@@ -184,6 +200,7 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
                         os.path.join(results_save_path, f"seed_{seed}")
                         if results_save_path else None
                     ),
+                    cache_data=cache_data,
                 )
             )
     all_results: Dict[str, Dict[str, float]] = {}

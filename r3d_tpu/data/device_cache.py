@@ -74,25 +74,14 @@ class DeviceCache:
         return keys
 
 
-def build_cache(
+def build_video_arrays(
     videos: List[Dict],
-    obs_percs: Sequence[float],
-    sample_rate: int,
-    n_query: int,
-    pad_idx: int,
-    n_class: int,
-    buckets: Sequence[int],
     feature_dtype: str = "float32",
-    query_pad_idx: Optional[int] = None,
     max_bytes: int = 12 << 30,
-) -> DeviceCache:
-    """videos: dicts with 'features' [L,D], 'label_idx' [L] int, optional
-    'depth' [L,...] and 'query_idx' ([L] int or [L,2] float).
-
-    Raises MemoryError when the estimated device footprint exceeds
-    ``max_bytes`` — callers fall back to the host loader.
-    """
-    none_idx = n_class - 1
+) -> Dict[str, jnp.ndarray]:
+    """Per-video device arrays (features/labels/depth/query + lengths),
+    padded to the longest video. The shared substrate of the train cache
+    (build_cache) and the cached predict sweep (assemble_eval)."""
     f_np = jnp.bfloat16 if feature_dtype == "bfloat16" else np.float32
     itemsize = 2 if feature_dtype == "bfloat16" else 4
 
@@ -155,6 +144,29 @@ def build_cache(
             )
         )
         data["len_query"] = jnp.asarray(len_query)
+    return data
+
+
+def build_cache(
+    videos: List[Dict],
+    obs_percs: Sequence[float],
+    sample_rate: int,
+    n_query: int,
+    pad_idx: int,
+    n_class: int,
+    buckets: Sequence[int],
+    feature_dtype: str = "float32",
+    query_pad_idx: Optional[int] = None,
+    max_bytes: int = 12 << 30,
+) -> DeviceCache:
+    """videos: dicts with 'features' [L,D], 'label_idx' [L] int, optional
+    'depth' [L,...] and 'query_idx' ([L] int or [L,2] float).
+
+    Raises MemoryError when the estimated device footprint exceeds
+    ``max_bytes`` — callers fall back to the host loader.
+    """
+    none_idx = n_class - 1
+    data = build_video_arrays(videos, feature_dtype, max_bytes)
 
     # ---- view table: one row per (video, obs_perc), transcripts on host
     view_vid, view_nrows, tgts, durs = [], [], [], []
@@ -236,23 +248,7 @@ def cache_from_source(source, cfg, n_query: int,
                 )
         except (OSError, ValueError):
             pass  # probe is best-effort; build_cache re-checks after loading
-    videos = []
-    for vid, seq in units:
-        v = source.load_video(vid, seq)
-        videos.append(
-            {
-                "features": np.asarray(v["features"], np.float32),
-                "label_idx": np.asarray(v["label_idx"]),
-                **(
-                    {"depth": np.asarray(v["depth"], np.float32)}
-                    if v.get("depth") is not None else {}
-                ),
-                **(
-                    {"query_idx": v["query_idx"]}
-                    if v.get("query_idx") is not None else {}
-                ),
-            }
-        )
+    videos = videos_from_source(source, cfg)
     return build_cache(
         videos,
         obs_percs=cfg.train_obs_percs,
@@ -311,6 +307,62 @@ def assemble(data: Dict[str, jnp.ndarray], view_ids: jnp.ndarray, S: int,
         )
         batch["query_label"] = gather(q, data["len_query"], qfill)
     return batch
+
+
+def assemble_eval(data: Dict[str, jnp.ndarray], vid: jnp.ndarray,
+                  real_s: jnp.ndarray, S: int,
+                  sample_rate: int) -> Dict[str, jnp.ndarray]:
+    """Gather predict-time observed windows (Predictor._forward_batch's host
+    padding, on device): ``vid``/``real_s`` are [B] video indices and valid
+    strided-row counts; returns features/mask (+depth/query) shaped [B, S,
+    ...].  Filler rows (real_s == 0) keep frame 0 unmasked, matching the
+    host path (eval/predict.py:116-117)."""
+    rows = jnp.arange(S, dtype=jnp.int32) * sample_rate
+    j = jnp.arange(S, dtype=jnp.int32)[None, :]
+    in_view = j < real_s[:, None]
+
+    def gather(arr, lens, fill):
+        safe = jnp.minimum(rows[None, :], lens[vid][:, None] - 1)
+        safe = jnp.maximum(safe, 0)
+        g = arr[vid[:, None], safe]
+        ok = in_view & (rows[None, :] < lens[vid][:, None])
+        ok = ok.reshape(ok.shape + (1,) * (g.ndim - 2))
+        return jnp.where(ok, g, jnp.asarray(fill, g.dtype))
+
+    mask = ~in_view
+    mask = mask.at[:, 0].set(False)
+    out = {
+        "features": gather(data["features"], data["len_feat"], 0),
+        "mask": mask,
+    }
+    if "depth" in data:
+        out["depth"] = gather(data["depth"], data["len_depth"], 0)
+    if "query" in data:
+        # host predict zero-fills query padding (eval/predict.py:125-127)
+        out["query"] = gather(data["query"], data["len_query"], 0)
+    return out
+
+
+def videos_from_source(source, cfg) -> List[Dict]:
+    """Load every (vid, seq) unit's arrays for build_video_arrays."""
+    videos = []
+    for vid, seq in source.units():
+        v = source.load_video(vid, seq)
+        videos.append(
+            {
+                "features": np.asarray(v["features"], np.float32),
+                "label_idx": np.asarray(v["label_idx"]),
+                **(
+                    {"depth": np.asarray(v["depth"], np.float32)}
+                    if v.get("depth") is not None else {}
+                ),
+                **(
+                    {"query_idx": v["query_idx"]}
+                    if v.get("query_idx") is not None else {}
+                ),
+            }
+        )
+    return videos
 
 
 def epoch_plan(

@@ -75,12 +75,35 @@ class Predictor:
             lambda variables, *args: model.apply(variables, *args, train=False)
         )
 
+        # device-cached sweep: batch assembly (device_cache.assemble_eval)
+        # fuses INTO the jitted forward, so a chunk's dispatch ships two [B]
+        # int32 vectors instead of padded fp32 feature/depth buffers
+        import functools
+
+        from r3d_tpu.data.device_cache import assemble_eval
+
+        sr = config.data.sample_rate
+        needs_query = self.needs_query
+
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def cached_forward(variables, data, vid, real_s, S):
+            b = assemble_eval(data, vid, real_s, S, sr)
+            args = [b["features"]]
+            if "depth" in b:
+                args.append(b["depth"])
+            elif needs_query:
+                args.append(b.get("query"))
+            args.append(b["mask"])
+            return model.apply(variables, *args, train=False)
+
+        self._cached_forward = cached_forward
+
     def _prepare(self, source: VideoSource, obs_p: float):
         """Slice/pad every video; group by bucket."""
         cfg = self.config
         sample_rate = cfg.data.sample_rate
         groups: Dict[int, List[Dict]] = collections.defaultdict(list)
-        for vid, seq in source.units():
+        for ui, (vid, seq) in enumerate(source.units()):
             v = source.load_video(vid, seq)
             labels_idx = v["label_idx"]
             vid_len = len(labels_idx)
@@ -93,7 +116,7 @@ class Predictor:
             real_s = feats.shape[0]
             S = bucket_length(real_s, cfg.data.seq_buckets)
             item = {
-                "vid": vid, "seq": seq,
+                "vid": vid, "seq": seq, "ui": ui,
                 "labels_idx": labels_idx, "past_len": past_len,
                 "future_len": int(cfg.eval.pred_p * vid_len),
                 "real_s": real_s, "feats": feats,
@@ -112,12 +135,15 @@ class Predictor:
         B = self.eval_batch
         n = len(items)
         feat_dim = items[0]["feats"].shape[1:]
-        feats = np.zeros((B, S) + feat_dim, np.float32)
+        # pad in the config's storage dtype (bf16 on the fusion configs) —
+        # same rule as the train collate and the serving path
+        in_dtype = jnp.dtype(self.config.data.feature_dtype)
+        feats = np.zeros((B, S) + feat_dim, in_dtype)
         mask = np.ones((B, S), bool)
         mask[:, 0] = False  # filler rows stay numerically safe
         depth = None
         if "depth" in items[0]:
-            depth = np.zeros((B, S) + items[0]["depth"].shape[1:], np.float32)
+            depth = np.zeros((B, S) + items[0]["depth"].shape[1:], in_dtype)
         query = None
         if self.needs_query and "query" in items[0]:
             q0 = items[0]["query"]
@@ -151,6 +177,32 @@ class Predictor:
         else:
             outputs = self._jit_forward(variables, *args)
         return {k: np.array(v[:n], np.float32) for k, v in outputs.items()}
+
+    def _forward_batch_cached(self, variables, items: List[Dict], S: int,
+                              data) -> Dict[str, np.ndarray]:
+        """Like _forward_batch, but the windows gather from the HBM-resident
+        video arrays inside the jitted forward — the dispatch ships only the
+        chunk's [B] video indices and row counts."""
+        B = self.eval_batch
+        vid = np.zeros(B, np.int32)
+        real_s = np.zeros(B, np.int32)   # filler rows: real_s=0, all-masked
+        for i, it in enumerate(items):
+            vid[i] = it["ui"]
+            real_s[i] = it["real_s"]
+        if isinstance(variables, (list, tuple)):
+            outs = [
+                self._cached_forward(v, data, vid, real_s, S)
+                for v in variables
+            ]
+            outputs = {
+                k: sum(o[k] for o in outs) / len(outs) for k in outs[0]
+            }
+        else:
+            outputs = self._cached_forward(variables, data, vid, real_s, S)
+        return {
+            k: np.array(v[: len(items)], np.float32)
+            for k, v in outputs.items()
+        }
 
     def _accumulate(self, it: Dict, outputs: Dict, i: int, acc, stats: Dict,
                     source: VideoSource, obs_p: float,
@@ -245,6 +297,7 @@ class Predictor:
         gif_dir: Optional[str] = None,
         frames_root: str = "",
         dump_dir: Optional[str] = None,
+        cache_data=None,
     ) -> Dict[float, Dict[str, float]]:
         """One device sweep serving EVERY observation ratio (ROADMAP #4): all
         ratios' windows bucket together, so chunks fill across ratios and one
@@ -271,7 +324,11 @@ class Predictor:
         for S, items in sorted(groups.items()):
             for start in range(0, len(items), self.eval_batch):
                 chunk = items[start : start + self.eval_batch]
-                outputs = self._forward_batch(variables, chunk, S)
+                outputs = (
+                    self._forward_batch_cached(variables, chunk, S, cache_data)
+                    if cache_data is not None
+                    else self._forward_batch(variables, chunk, S)
+                )
                 for i, it in enumerate(chunk):
                     o = it["obs_p"]
                     self._accumulate(
@@ -309,11 +366,12 @@ class Predictor:
         log: Callable = print,
         gif_dir: Optional[str] = None,
         frames_root: str = "",
+        cache_data=None,
     ) -> Dict[str, float]:
         """Single-ratio protocol (reference predict_utkinects.py:215-392).
         ``gif_dir``: also render gt-vs-pred anticipation GIFs per video
         (reference make_gif.py flow) when the gt carries image paths."""
         return self.predict_multi(
             variables, source, [obs_p], log=log, gif_dir=gif_dir,
-            frames_root=frames_root,
+            frames_root=frames_root, cache_data=cache_data,
         )[obs_p]

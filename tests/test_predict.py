@@ -109,6 +109,34 @@ def test_predict_multi_equals_per_obs(setup):
             np.testing.assert_allclose(multi[obs][k], single[k], atol=1e-6)
 
 
+def test_predict_cached_equals_host(setup):
+    """The device-cached sweep (HBM video arrays, gather fused into the
+    forward) must reproduce the host-padded sweep exactly — every metric,
+    every obs ratio, including partial filler chunks."""
+    from r3d_tpu.data.device_cache import (
+        build_video_arrays, videos_from_source,
+    )
+
+    cfg, source, model, variables = setup
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    host = predictor.predict_multi(
+        variables, source, [0.2, 0.3, 0.5], log=lambda *a: None
+    )
+    data = build_video_arrays(
+        videos_from_source(source, cfg.data), cfg.data.feature_dtype
+    )
+    cached = predictor.predict_multi(
+        variables, source, [0.2, 0.3, 0.5], log=lambda *a: None,
+        cache_data=data,
+    )
+    for obs in (0.2, 0.3, 0.5):
+        assert set(host[obs]) == set(cached[obs])
+        for k in host[obs]:
+            np.testing.assert_allclose(
+                cached[obs][k], host[obs][k], atol=1e-6, err_msg=f"{obs}/{k}"
+            )
+
+
 def test_predict_seed_ensemble(setup):
     """Logit ensembling: [v, v] must equal the single-checkpoint sweep, and
     two genuinely different checkpoints must produce a valid sweep."""
