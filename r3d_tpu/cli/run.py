@@ -75,11 +75,7 @@ def train(config: Config, seed: int, dataset_ops: str = "",
 
     metrics = MetricsLogger(path, run_name=f"seed_{seed}_metrics")
     cache = None
-    if (
-        config.train.device_cache
-        and config.train.loop != "unsupervised"  # needs host-side seg_ids
-        and not config.data.raw_frames
-    ):
+    if config.train.device_cache and not config.data.raw_frames:
         from r3d_tpu.data.device_cache import cache_from_source
 
         try:

@@ -358,7 +358,7 @@ CONFIGS = {
         model=ModelConfig(model="futr_unsupervised", query_num=48),
         train=TrainConfig(
             loop="unsupervised", exclude_class_idx=None,
-            l3_pad_idx=47, l3_exclude_idx=48,
+            l3_pad_idx=47, l3_exclude_idx=48, device_cache=True,
         ),
     ),
     # NTURGBD RGB-D fusion (main_nturgbd.py; fusion wiring, not the RNN ablation)

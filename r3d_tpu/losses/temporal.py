@@ -62,6 +62,22 @@ def segment_ids_from_labels(
     return out
 
 
+def segment_ids_from_labels_jnp(labels: jnp.ndarray,
+                                max_segments: int) -> jnp.ndarray:
+    """Jax twin of segment_ids_from_labels(valid=None) — the variant the
+    train loop uses — so the device-cached path can derive seg_ids inside
+    the jitted step (equality tested in tests/test_device_cache.py)."""
+    changes = jnp.concatenate(
+        [
+            jnp.zeros_like(labels[:, :1], dtype=jnp.int32),
+            (labels[:, 1:] != labels[:, :-1]).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    seg = jnp.cumsum(changes, axis=1)
+    return jnp.minimum(seg, max_segments - 1).astype(jnp.int32)
+
+
 def _cluster_stats(predictions: jnp.ndarray, seg_ids: jnp.ndarray, max_segments: int):
     """Returns (means [B,K,C], counts [B,K], cluster_exists [B,K])."""
     B, T, C = predictions.shape

@@ -319,12 +319,25 @@ class Trainer:
         pad_idx = cache.pad_idx
         query_pad_idx = cache.query_pad_idx
 
+        unsup = self.config.train.loop == "unsupervised"
+        max_segments = self.config.train.max_segments
+
         @functools.partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
         def cached_multi_step(state, data, idx, rng, S, epoch):
             def body(st, ids):
                 batch = dc.assemble(
                     data, ids, S, sample_rate, pad_idx, query_pad_idx
                 )
+                if unsup:
+                    # the host loop derives seg_ids per batch on host
+                    # (fit.host_batches); here the jnp twin runs in-step
+                    from r3d_tpu.losses.temporal import (
+                        segment_ids_from_labels_jnp,
+                    )
+
+                    batch["seg_ids"] = segment_ids_from_labels_jnp(
+                        batch["query_label"], max_segments
+                    )
                 return self._train_step_core(st, batch, rng, epoch)
 
             state, per_step = jax.lax.scan(body, state, idx)

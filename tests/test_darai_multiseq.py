@@ -102,6 +102,36 @@ def test_loader_runs_on_multiseq(darai_tree):
     assert batch["depth_features"].shape == (4, 64, 5, 4)
 
 
+def test_device_cache_on_multiseq(darai_tree):
+    """The HBM dataset cache must reproduce the host collate bit-for-bit on
+    the multi-sequence layout (depth window alignment + query stream)."""
+    import jax
+    import jax.numpy as jnp
+
+    from r3d_tpu.data.device_cache import assemble, cache_from_source
+    from r3d_tpu.data.pipeline import pad_batch
+
+    src = make_source(darai_tree)
+    cache = cache_from_source(src, src.cfg, n_query=8)
+    assert cache.n_views == 9  # 3 units x 3 obs percs
+
+    units = src.units()
+    table = [(u, o) for u in units for o in (0.2, 0.3, 0.5)]
+    view_ids = np.array([0, 4, 8], np.int32)
+    examples = [
+        src.make_example(vid, o, src.cfg.sample_rate, 8, seq=seq)
+        for (vid, seq), o in (table[i] for i in view_ids)
+    ]
+    host = pad_batch(examples, src.pad_idx, (64,), 8, with_depth=True,
+                     with_query=True, query_pad_idx=len(QUERIES))
+    dev = assemble(cache.data, jnp.asarray(view_ids), 64,
+                   src.cfg.sample_rate, cache.pad_idx, cache.query_pad_idx)
+    for k in host:
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(dev[k])), host[k], err_msg=k
+        )
+
+
 def _import_ref_dataset():
     """Import the reference darai-depth dataset with torchvision stubbed
     (the module imports it at top level but the code paths we exercise never

@@ -194,6 +194,66 @@ def test_fit_cached_equals_fit():
     assert host_val and host_val == cached_val
 
 
+def test_fit_cached_unsupervised_equals_fit():
+    """The DARai curriculum loop: seg_ids derive in-step from the cached
+    query stream (segment_ids_from_labels_jnp) — trajectory must match the
+    host loop, which computes them on host per batch."""
+    import dataclasses
+
+    from r3d_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from r3d_tpu.data.pipeline import BucketedLoader
+
+    src = SyntheticSource(
+        n_videos=6, n_actions=5, vid_len_range=(60, 120), input_dim=16,
+        n_query_classes=7, seed=3,
+    )
+    cfg = get_config("synthetic").replace(
+        model=ModelConfig(
+            model="futr_unsupervised", hidden_dim=16, n_head=2,
+            n_encoder_layers=1, n_decoder_layers=1, n_query=NQ, input_dim=16,
+            max_pos_len=128, compute_dtype="float32", query_num=7,
+        ),
+        train=TrainConfig(
+            loop="unsupervised", batch_size=4, epochs=2, warmup_epochs=1,
+            min_train_batch=0, l3_pad_idx=7, l3_exclude_idx=None,
+            max_segments=16, seeds=(1,), steps_per_dispatch=2,
+        ),
+        data=DataConfig(
+            dataset="synthetic", seq_buckets=BUCKETS, train_obs_percs=OBS,
+            sample_rate=SR,
+        ),
+    )
+    cache = build_cache(
+        source_videos(src), OBS, SR, NQ, src.pad_idx, src.n_class, BUCKETS,
+        query_pad_idx=7,
+    )
+    fn, n = src.make_example_fn(OBS, SR, NQ)
+
+    def loader(shuffle, seed=1):
+        return BucketedLoader(
+            num_examples=n, make_example_fn=fn, batch_size=4,
+            pad_idx=src.pad_idx, buckets=BUCKETS, n_query=NQ,
+            with_query=True, shuffle=shuffle, seed=seed, query_pad_idx=7,
+        )
+
+    example = next(iter(loader(False)))
+    t1 = Trainer(cfg, src.n_class)
+    s1 = t1.init_state(jax.random.PRNGKey(7), example, 2)
+    s1 = t1.fit(s1, loader(True, seed=1), loader(False), seed=1,
+                log=lambda *a: None)
+
+    t2 = Trainer(cfg, src.n_class)
+    s2 = t2.init_state(jax.random.PRNGKey(7), example, 2)
+    s2 = t2.fit_cached(s2, cache, loader(False), seed=1, log=lambda *a: None)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=0
+        ),
+        jax.device_get(s1.params), jax.device_get(s2.params),
+    )
+
+
 def test_cache_memory_guard():
     src = make_source(depth=True)
     with pytest.raises(MemoryError):
