@@ -265,39 +265,64 @@ def cache_from_source(source, cfg, n_query: int,
     )
 
 
+def _gather_window(arr: jnp.ndarray, vid: jnp.ndarray, in_view: jnp.ndarray,
+                   S: int, sample_rate: int, fill,
+                   dtype=None) -> jnp.ndarray:
+    """[B] video ids -> [B, S, ...] strided observed windows.
+
+    The window rows (``arange(S) * sample_rate``) are STATIC, so instead of
+    a 2D advanced-index gather (measured ~16% of HBM bandwidth on v5e) this
+    vmaps a contiguous per-video dynamic_slice and applies a static strided
+    slice — a plain block copy.  Rows past a stream's true length are zeros
+    in the padded storage, which matches the host collate's zero padding;
+    ``in_view`` masks everything past the view's observed window with
+    ``fill``.
+    """
+    need = min((S - 1) * sample_rate + 1, arr.shape[1])
+
+    def one(v):
+        start = (v,) + (0,) * (arr.ndim - 1)
+        return jax.lax.dynamic_slice(
+            arr, start, (1, need) + arr.shape[2:]
+        )[0]
+
+    g = jax.vmap(one)(vid)[:, ::sample_rate]                  # [B, <=S, ...]
+    if g.shape[1] < S:
+        g = jnp.pad(
+            g, ((0, 0), (0, S - g.shape[1])) + ((0, 0),) * (g.ndim - 2)
+        )
+    ok = in_view.reshape(in_view.shape + (1,) * (g.ndim - 2))
+    return jnp.where(ok, g, jnp.asarray(fill, g.dtype)).astype(dtype or g.dtype)
+
+
 def assemble(data: Dict[str, jnp.ndarray], view_ids: jnp.ndarray, S: int,
              sample_rate: int, pad_idx: int,
              query_pad_idx: Optional[int]) -> Dict[str, jnp.ndarray]:
     """Pure-jax batch assembly: gather the views' observed windows into the
     exact arrays ``pipeline.pad_batch`` would produce (same dtypes, same
     padding values). ``S`` is the static bucket length of this batch.
+
+    Mask note: ``j < nrows`` implies row ``j*sample_rate`` lies inside the
+    observed window AND inside the label stream (nrows counts exactly those
+    rows), so a single in-view mask suffices; feature/depth rows past a
+    short stream are zeros in storage, same as the host collate leaves them.
     """
-    rows = jnp.arange(S, dtype=jnp.int32) * sample_rate          # [S]
     vid = data["view_vid"][view_ids]                             # [B]
     nrows = data["view_nrows"][view_ids]                         # [B]
     j = jnp.arange(S, dtype=jnp.int32)[None, :]                  # [1, S]
     in_view = j < nrows[:, None]                                 # [B, S]
 
-    def gather(arr, lens, fill, dtype=None):
-        safe = jnp.minimum(rows[None, :], lens[vid][:, None] - 1)
-        safe = jnp.maximum(safe, 0)
-        g = arr[vid[:, None], safe]                              # [B, S, ...]
-        ok = in_view & (rows[None, :] < lens[vid][:, None])
-        ok = ok.reshape(ok.shape + (1,) * (g.ndim - 2))
-        return jnp.where(ok, g, jnp.asarray(fill, g.dtype)).astype(
-            dtype or g.dtype
-        )
+    def gather(arr, fill, dtype=None):
+        return _gather_window(arr, vid, in_view, S, sample_rate, fill, dtype)
 
     batch = {
-        "features": gather(data["features"], data["len_feat"], 0),
-        "past_label": gather(
-            data["labels"], data["len_lab"], pad_idx, jnp.int32
-        ),
+        "features": gather(data["features"], 0),
+        "past_label": gather(data["labels"], pad_idx, jnp.int32),
         "trans_future_target": data["view_target"][view_ids],
         "trans_future_dur": data["view_dur"][view_ids],
     }
     if "depth" in data:
-        batch["depth_features"] = gather(data["depth"], data["len_depth"], 0)
+        batch["depth_features"] = gather(data["depth"], 0)
     if "query" in data:
         q = data["query"]
         qfill = (
@@ -305,7 +330,7 @@ def assemble(data: Dict[str, jnp.ndarray], view_ids: jnp.ndarray, S: int,
             if jnp.issubdtype(q.dtype, jnp.floating)
             else (pad_idx if query_pad_idx is None else query_pad_idx)
         )
-        batch["query_label"] = gather(q, data["len_query"], qfill)
+        batch["query_label"] = gather(q, qfill)
     return batch
 
 
@@ -317,29 +342,23 @@ def assemble_eval(data: Dict[str, jnp.ndarray], vid: jnp.ndarray,
     strided-row counts; returns features/mask (+depth/query) shaped [B, S,
     ...].  Filler rows (real_s == 0) keep frame 0 unmasked, matching the
     host path (eval/predict.py:116-117)."""
-    rows = jnp.arange(S, dtype=jnp.int32) * sample_rate
     j = jnp.arange(S, dtype=jnp.int32)[None, :]
     in_view = j < real_s[:, None]
 
-    def gather(arr, lens, fill):
-        safe = jnp.minimum(rows[None, :], lens[vid][:, None] - 1)
-        safe = jnp.maximum(safe, 0)
-        g = arr[vid[:, None], safe]
-        ok = in_view & (rows[None, :] < lens[vid][:, None])
-        ok = ok.reshape(ok.shape + (1,) * (g.ndim - 2))
-        return jnp.where(ok, g, jnp.asarray(fill, g.dtype))
+    def gather(arr, fill):
+        return _gather_window(arr, vid, in_view, S, sample_rate, fill)
 
     mask = ~in_view
     mask = mask.at[:, 0].set(False)
     out = {
-        "features": gather(data["features"], data["len_feat"], 0),
+        "features": gather(data["features"], 0),
         "mask": mask,
     }
     if "depth" in data:
-        out["depth"] = gather(data["depth"], data["len_depth"], 0)
+        out["depth"] = gather(data["depth"], 0)
     if "query" in data:
         # host predict zero-fills query padding (eval/predict.py:125-127)
-        out["query"] = gather(data["query"], data["len_query"], 0)
+        out["query"] = gather(data["query"], 0)
     return out
 
 
