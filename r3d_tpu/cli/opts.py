@@ -50,9 +50,12 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
     p.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="device-side step batching: one dispatch scans this "
                         "many train steps (Trainer.make_multi_step)")
-    p.add_argument("--device_cache", action="store_true", default=None,
+    p.add_argument("--device_cache", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="land the train set in HBM once and assemble batches "
-                        "on device (data/device_cache.py); zero per-step H2D")
+                        "on device (data/device_cache.py); zero per-step "
+                        "H2D. --no-device_cache forces the host loader on "
+                        "configs that default the cache on")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--sample_rate", type=int, default=None)
     p.add_argument("--obs_perc", default=30)

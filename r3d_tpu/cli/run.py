@@ -127,15 +127,10 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
 
     cache_data = None
     if config.train.device_cache and not config.data.raw_frames:
-        from r3d_tpu.data.device_cache import (
-            build_video_arrays, videos_from_source,
-        )
+        from r3d_tpu.data.device_cache import arrays_from_source
 
         try:
-            cache_data = build_video_arrays(
-                videos_from_source(source, config.data),
-                config.data.feature_dtype,
-            )
+            cache_data = arrays_from_source(source, config.data)
             log("predict: eval videos cached in HBM")
         except MemoryError as e:
             log(f"predict device cache disabled: {e}")

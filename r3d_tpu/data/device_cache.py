@@ -63,16 +63,6 @@ class DeviceCache:
     feature_dtype: str
     nbytes: int
 
-    def batch_spec(self) -> Dict[str, str]:
-        """Which batch keys assemble() produces."""
-        keys = ["features", "past_label", "trans_future_target",
-                "trans_future_dur"]
-        if "depth" in self.data:
-            keys.append("depth_features")
-        if "query" in self.data:
-            keys.append("query_label")
-        return keys
-
 
 def build_video_arrays(
     videos: List[Dict],
@@ -119,10 +109,14 @@ def build_video_arrays(
             out[i, : len(v[key])] = v[key]
         return out
 
+    # stage bf16 on HOST (numpy writes cast per video, exactly how
+    # pad_batch builds bf16 batches) — shipping fp32 and casting on device
+    # would double the one-time H2D and transiently hold fp32+bf16 copies,
+    # blowing past the max_bytes guard
     data: Dict[str, jnp.ndarray] = {
         "features": jnp.asarray(
-            stack_padded("features", int(len_feat.max()), np.float32)
-        ).astype(f_np),
+            stack_padded("features", int(len_feat.max()), f_np)
+        ),
         "labels": jnp.asarray(
             stack_padded("label_idx", int(len_lab.max()), np.int32)
         ),
@@ -131,8 +125,8 @@ def build_video_arrays(
     }
     if with_depth:
         data["depth"] = jnp.asarray(
-            stack_padded("depth", int(len_depth.max()), np.float32)
-        ).astype(f_np)
+            stack_padded("depth", int(len_depth.max()), f_np)
+        )
         data["len_depth"] = jnp.asarray(len_depth)
     if with_query:
         q0 = np.asarray(videos[0]["query_idx"])
@@ -209,45 +203,57 @@ def build_cache(
     )
 
 
+def probe_footprint(source, cfg, max_bytes: int) -> None:
+    """Estimate the cache footprint from npy headers (mmap) BEFORE loading
+    anything, so an oversized dataset is rejected without first filling host
+    RAM.  Best-effort: unreadable headers defer to the post-load check."""
+    if cfg.raw_frames:
+        return
+    try:
+        est = 0
+        itemsize = 2 if cfg.feature_dtype == "bfloat16" else 4
+        lf, ld = [], []
+        for vid, seq in source.units():
+            vid_file = vid.split("/")[-1]
+            f = np.load(source._feature_file(vid_file, seq), mmap_mode="r")
+            lf.append(f.shape)
+            if source.depth_path is not None:
+                d = np.load(source._depth_file(vid_file, seq), mmap_mode="r")
+                ld.append(d.shape)
+        if lf:
+            # breakfast/50salads store [C, S] (features_transposed)
+            rows = lambda s: s[-1] if cfg.features_transposed else s[0]
+            Lmax = max(rows(s) for s in lf)
+            row_elems = (
+                lf[0][0] if cfg.features_transposed
+                else int(np.prod(lf[0][1:]))
+            )
+            est += len(lf) * Lmax * row_elems * itemsize
+        if ld:
+            Lmax = max(s[0] for s in ld)
+            est += len(ld) * Lmax * int(np.prod(ld[0][1:])) * itemsize
+    except (OSError, ValueError):
+        return  # probe is best-effort; build re-checks after loading
+    if est > max_bytes:
+        raise MemoryError(
+            f"device cache would need ~{est >> 20} MiB > budget "
+            f"{max_bytes >> 20} MiB; use the host loader"
+        )
+
+
+def arrays_from_source(source, cfg,
+                       max_bytes: int = 12 << 30) -> Dict[str, jnp.ndarray]:
+    """Probe-then-load video arrays for the cached predict sweep."""
+    probe_footprint(source, cfg, max_bytes)
+    return build_video_arrays(
+        videos_from_source(source, cfg), cfg.feature_dtype, max_bytes
+    )
+
+
 def cache_from_source(source, cfg, n_query: int,
                       max_bytes: int = 12 << 30) -> DeviceCache:
-    """Build from a datasets.VideoSource (flat or multi-sequence layout).
-
-    Estimates the footprint from npy headers (mmap) BEFORE loading anything,
-    so an oversized dataset is rejected without first filling host RAM.
-    """
-    units = source.units()
-    if not cfg.raw_frames:
-        try:
-            est = 0
-            itemsize = 2 if cfg.feature_dtype == "bfloat16" else 4
-            lf, ld = [], []
-            for vid, seq in units:
-                vid_file = vid.split("/")[-1]
-                f = np.load(source._feature_file(vid_file, seq), mmap_mode="r")
-                lf.append(f.shape)
-                if source.depth_path is not None:
-                    d = np.load(source._depth_file(vid_file, seq), mmap_mode="r")
-                    ld.append(d.shape)
-            if lf:
-                # breakfast/50salads store [C, S] (features_transposed)
-                rows = lambda s: s[-1] if cfg.features_transposed else s[0]
-                Lmax = max(rows(s) for s in lf)
-                row_elems = (
-                    lf[0][0] if cfg.features_transposed
-                    else int(np.prod(lf[0][1:]))
-                )
-                est += len(lf) * Lmax * row_elems * itemsize
-            if ld:
-                Lmax = max(s[0] for s in ld)
-                est += len(ld) * Lmax * int(np.prod(ld[0][1:])) * itemsize
-            if est > max_bytes:
-                raise MemoryError(
-                    f"device cache would need ~{est >> 20} MiB > budget "
-                    f"{max_bytes >> 20} MiB; use the host loader"
-                )
-        except (OSError, ValueError):
-            pass  # probe is best-effort; build_cache re-checks after loading
+    """Build from a datasets.VideoSource (flat or multi-sequence layout)."""
+    probe_footprint(source, cfg, max_bytes)
     videos = videos_from_source(source, cfg)
     return build_cache(
         videos,

@@ -93,9 +93,34 @@ class InferenceSession:
         in_dtype = jnp.dtype(self.config.data.feature_dtype)  # ml_dtypes bf16-aware
 
         results: List[Optional[Dict]] = [None] * len(videos)
-        # two phases: dispatch every chunk first (jax dispatch is async, so
-        # chunk j+1's H2D overlaps chunk j's compute), then fetch + decode
-        pending = []
+        # pipelined: keep a small window of chunks in flight (jax dispatch
+        # is async, so chunk j+1's H2D overlaps chunk j's compute) — bounded
+        # so peak HBM stays O(window), not O(request size)
+        max_in_flight = 2
+        pending: List = []
+
+        def fetch_one():
+            chunk, out = pending.pop(0)
+            actions = np.array(out["action"], np.float32)
+            durs = np.array(out["duration"], np.float32)
+            segs = (
+                np.argmax(np.array(out["seg"], np.float32), -1)
+                if "seg" in out
+                else None
+            )
+            for j, i in enumerate(chunk):
+                r = videos[i]["features"].shape[0]
+                horizon = future_len if future_len is not None else r
+                frames, norm_dur = decode_anticipation(
+                    actions[j], durs[j], horizon, none_idx
+                )
+                results[i] = {
+                    "transcript": np.argmax(actions[j], -1),
+                    "durations": norm_dur,
+                    "future_frames": frames,
+                    "seg": None if segs is None else segs[j, :r],
+                }
+
         for S, idxs in order.items():
             for start in range(0, len(idxs), self.max_batch):
                 chunk = idxs[start : start + self.max_batch]
@@ -129,27 +154,11 @@ class InferenceSession:
                     args.append(jnp.asarray(depth))
                 args.append(jnp.asarray(mask))
                 pending.append((chunk, self._forward(self.variables, *args)))
+                if len(pending) > max_in_flight:
+                    fetch_one()
 
-        for chunk, out in pending:
-            actions = np.array(out["action"], np.float32)
-            durs = np.array(out["duration"], np.float32)
-            segs = (
-                np.argmax(np.array(out["seg"], np.float32), -1)
-                if "seg" in out
-                else None
-            )
-            for j, i in enumerate(chunk):
-                r = videos[i]["features"].shape[0]
-                horizon = future_len if future_len is not None else r
-                frames, norm_dur = decode_anticipation(
-                    actions[j], durs[j], horizon, none_idx
-                )
-                results[i] = {
-                    "transcript": np.argmax(actions[j], -1),
-                    "durations": norm_dur,
-                    "future_frames": frames,
-                    "seg": None if segs is None else segs[j, :r],
-                }
+        while pending:
+            fetch_one()
         return results  # type: ignore[return-value]
 
     def anticipate(self, features: np.ndarray,

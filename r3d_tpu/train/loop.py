@@ -569,17 +569,31 @@ class Trainer:
     @staticmethod
     def _group_same_shape(plan, K: int):
         """Group consecutive same-(bucket, batch-size) plan entries into
-        stacks of at most K: [((S, B), [idx, ...]), ...]."""
+        stacks of EXACTLY K, leftovers as singles: [((S, B), [idx...]), ...].
+
+        Same rule as fit()'s dispatch_groups: a variable stack height would
+        compile one scan program per distinct k — up to K x buckets programs
+        at 2-5 min tunnel compile each; exactly-K-or-1 bounds it at two
+        shapes per (S, B)."""
         groups: list = []
+        run: list = []
+        sig = None
+
+        def flush():
+            while len(run) >= K:
+                groups.append((sig, run[:K]))
+                del run[:K]
+            groups.extend((sig, [idx]) for idx in run)
+            run.clear()
+
         for S, idx in plan:
-            if (
-                groups
-                and groups[-1][0] == (S, len(idx))
-                and len(groups[-1][1]) < K
-            ):
-                groups[-1][1].append(idx)
-            else:
-                groups.append([(S, len(idx)), [idx]])
+            s = (S, len(idx))
+            if run and s != sig:
+                flush()
+            sig = s
+            run.append(idx)
+        if run:
+            flush()
         return groups
 
     def fit_cached(
@@ -704,6 +718,8 @@ class Trainer:
                     epoch=epoch, seed=seed, train_acc=acc, val_loss=val_loss,
                     val_acc=val_acc, clips_per_sec=n_clips / max(dt, 1e-9),
                 )
+                if "erank" in vagg:  # the paper's analysis curve, per epoch
+                    rec["val_erank"] = vagg["erank"] / max(vb, 1)
                 metrics_logger.log(rec, step=int(state.step))
 
             if val_acc > best_val_acc:
