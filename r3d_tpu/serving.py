@@ -149,17 +149,72 @@ class InferenceSession:
                     mask[j, r:] = True
                     if depth is not None:
                         depth[j, :r] = videos[i]["depth"]
-                args = [jnp.asarray(feats)]
-                if depth is not None:
-                    args.append(jnp.asarray(depth))
-                args.append(jnp.asarray(mask))
-                pending.append((chunk, self._forward(self.variables, *args)))
+                pending.append((chunk, self._run(feats, depth, mask)))
                 if len(pending) > max_in_flight:
                     fetch_one()
 
         while pending:
             fetch_one()
         return results  # type: ignore[return-value]
+
+    def _run(self, feats, depth, mask) -> Dict:
+        """One padded chunk -> model outputs (async jax values)."""
+        args = [jnp.asarray(feats)]
+        if depth is not None:
+            args.append(jnp.asarray(depth))
+        args.append(jnp.asarray(mask))
+        return self._forward(self.variables, *args)
+
+    def export(self, path: str) -> None:
+        """Write a self-contained deployment artifact: one AOT-compiled
+        serving program per (bucket, power-of-two batch) shape, serialized
+        via ``jax.export`` (StableHLO) with the checkpoint params baked in,
+        plus the decode metadata. ``ExportedSession.load(path)`` serves it
+        without model code, flax, or checkpoint restore. Export on the
+        platform family you will serve on (the artifact records it)."""
+        import json
+        import os
+
+        from jax import export as jexport
+
+        os.makedirs(path, exist_ok=True)
+        cfg = self.config
+        f_dtype = jnp.dtype(cfg.data.feature_dtype)
+        D = cfg.model.input_dim
+        fn = jax.jit(
+            lambda *args: self.model.apply(self.variables, *args, train=False)
+        )
+        shapes = []
+        for S in cfg.data.seq_buckets:
+            B = 1
+            while B <= self.max_batch:
+                args = [jax.ShapeDtypeStruct((B, S, D), f_dtype)]
+                if self.is_fusion:
+                    args.append(
+                        jax.ShapeDtypeStruct(
+                            (B, S) + tuple(cfg.data.depth_shape), f_dtype
+                        )
+                    )
+                args.append(jax.ShapeDtypeStruct((B, S), jnp.bool_))
+                blob = jexport.export(fn)(*args).serialize()
+                with open(os.path.join(path, f"fwd_{S}_{B}.bin"), "wb") as f:
+                    f.write(blob)
+                shapes.append([S, B])
+                B *= 2
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "shapes": shapes,
+                    "seq_buckets": list(cfg.data.seq_buckets),
+                    "max_batch": self.max_batch,
+                    "n_class": self.n_class,
+                    "is_fusion": self.is_fusion,
+                    "feature_dtype": cfg.data.feature_dtype,
+                    "input_dim": D,
+                    "depth_shape": list(cfg.data.depth_shape),
+                },
+                f,
+            )
 
     def anticipate(self, features: np.ndarray,
                    depth: Optional[np.ndarray] = None,
@@ -168,3 +223,49 @@ class InferenceSession:
         if depth is not None:
             video["depth"] = depth
         return self.anticipate_batch([video], future_len)[0]
+
+
+class ExportedSession(InferenceSession):
+    """Serve an ``InferenceSession.export`` artifact: deserialized StableHLO
+    programs with baked-in params — no model code, flax, or checkpoint
+    machinery at serving time. Same anticipate/anticipate_batch API."""
+
+    def __init__(self, path: str):
+        import json
+        import os
+        import types
+
+        from jax import export as jexport
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        self.n_class = meta["n_class"]
+        self.max_batch = meta["max_batch"]
+        self.is_fusion = meta["is_fusion"]
+        # the minimal config surface anticipate_batch reads
+        self.config = types.SimpleNamespace(
+            data=types.SimpleNamespace(
+                seq_buckets=tuple(meta["seq_buckets"]),
+                feature_dtype=meta["feature_dtype"],
+                depth_shape=tuple(meta["depth_shape"]),
+            )
+        )
+        self._programs = {}
+        for S, B in meta["shapes"]:
+            with open(os.path.join(path, f"fwd_{S}_{B}.bin"), "rb") as f:
+                self._programs[(S, B)] = jexport.deserialize(f.read()).call
+
+    @classmethod
+    def load(cls, path: str) -> "ExportedSession":
+        return cls(path)
+
+    def _run(self, feats, depth, mask) -> Dict:
+        call = self._programs[(feats.shape[1], feats.shape[0])]
+        args = [jnp.asarray(feats)]
+        if depth is not None:
+            args.append(jnp.asarray(depth))
+        args.append(jnp.asarray(mask))
+        return call(*args)
+
+    def export(self, path: str) -> None:  # pragma: no cover - guard
+        raise NotImplementedError("already an exported artifact")

@@ -65,3 +65,16 @@ def test_session_from_checkpoint(disk_dataset, tmp_path):  # noqa: F811
         ref = session.anticipate(v["features"], v["depth"], future_len=25)
         np.testing.assert_array_equal(ref["transcript"], r["transcript"])
         np.testing.assert_array_equal(ref["future_frames"], r["future_frames"])
+
+    # export -> load roundtrip: the deserialized StableHLO artifact (params
+    # baked in, no model code) must reproduce the live session exactly
+    from r3d_tpu.serving import ExportedSession
+
+    art = str(tmp_path / "artifact")
+    session.export(art)
+    served = ExportedSession.load(art)
+    res_exp = served.anticipate_batch(vids, future_len=25)
+    for a, b in zip(res5, res_exp):
+        np.testing.assert_array_equal(a["transcript"], b["transcript"])
+        np.testing.assert_array_equal(a["future_frames"], b["future_frames"])
+        np.testing.assert_array_equal(a["seg"], b["seg"])
