@@ -143,14 +143,16 @@ class InferenceSession:
                         (B, S) + videos[chunk[0]]["depth"].shape[1:], in_dtype
                     )
                 for j, i in enumerate(chunk):
-                    r = videos[i]["features"].shape[0]
-                    feats[j, :r] = videos[i]["features"]
+                    # overlong videos truncate to the last bucket, same as
+                    # the training pipeline (pipeline.bucket_length)
+                    r = min(videos[i]["features"].shape[0], S)
+                    feats[j, :r] = videos[i]["features"][:r]
                     mask[j, :r] = False
                     mask[j, r:] = True
                     if depth is not None:
-                        depth[j, :r] = videos[i]["depth"]
+                        depth[j, :r] = videos[i]["depth"][:r]
                 pending.append((chunk, self._run(feats, depth, mask)))
-                if len(pending) > max_in_flight:
+                if len(pending) >= max_in_flight:
                     fetch_one()
 
         while pending:
@@ -181,13 +183,25 @@ class InferenceSession:
         cfg = self.config
         f_dtype = jnp.dtype(cfg.data.feature_dtype)
         D = cfg.model.input_dim
+        # params travel as a runtime argument and are stored ONCE — baking
+        # them into each program would duplicate every weight per
+        # (bucket, batch) shape
+        variables_np = jax.device_get(self.variables)
+        np.save(os.path.join(path, "params.npy"),
+                np.array(variables_np, dtype=object), allow_pickle=True)
+        var_struct = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            variables_np,
+        )
         fn = jax.jit(
-            lambda *args: self.model.apply(self.variables, *args, train=False)
+            lambda v, *args: self.model.apply(v, *args, train=False)
         )
         shapes = []
         for S in cfg.data.seq_buckets:
+            # anticipate_batch pads chunks to the next power of two, which
+            # can EXCEED a non-power-of-two max_batch — cover through it
             B = 1
-            while B <= self.max_batch:
+            while True:
                 args = [jax.ShapeDtypeStruct((B, S, D), f_dtype)]
                 if self.is_fusion:
                     args.append(
@@ -196,10 +210,12 @@ class InferenceSession:
                         )
                     )
                 args.append(jax.ShapeDtypeStruct((B, S), jnp.bool_))
-                blob = jexport.export(fn)(*args).serialize()
+                blob = jexport.export(fn)(var_struct, *args).serialize()
                 with open(os.path.join(path, f"fwd_{S}_{B}.bin"), "wb") as f:
                     f.write(blob)
                 shapes.append([S, B])
+                if B >= self.max_batch:
+                    break
                 B *= 2
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
@@ -250,22 +266,32 @@ class ExportedSession(InferenceSession):
                 depth_shape=tuple(meta["depth_shape"]),
             )
         )
-        self._programs = {}
-        for S, B in meta["shapes"]:
-            with open(os.path.join(path, f"fwd_{S}_{B}.bin"), "rb") as f:
-                self._programs[(S, B)] = jexport.deserialize(f.read()).call
+        self.variables = np.load(
+            os.path.join(path, "params.npy"), allow_pickle=True
+        ).item()
+        # programs deserialize lazily per shape — a request touches one or
+        # two of them
+        self._blobs = {
+            (S, B): os.path.join(path, f"fwd_{S}_{B}.bin")
+            for S, B in meta["shapes"]
+        }
+        self._programs: Dict = {}
+        self._deserialize = jexport.deserialize
 
     @classmethod
     def load(cls, path: str) -> "ExportedSession":
         return cls(path)
 
     def _run(self, feats, depth, mask) -> Dict:
-        call = self._programs[(feats.shape[1], feats.shape[0])]
+        key = (feats.shape[1], feats.shape[0])
+        if key not in self._programs:
+            with open(self._blobs[key], "rb") as f:
+                self._programs[key] = self._deserialize(f.read()).call
         args = [jnp.asarray(feats)]
         if depth is not None:
             args.append(jnp.asarray(depth))
         args.append(jnp.asarray(mask))
-        return call(*args)
+        return self._programs[key](self.variables, *args)
 
     def export(self, path: str) -> None:  # pragma: no cover - guard
         raise NotImplementedError("already an exported artifact")

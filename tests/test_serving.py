@@ -66,15 +66,27 @@ def test_session_from_checkpoint(disk_dataset, tmp_path):  # noqa: F811
         np.testing.assert_array_equal(ref["transcript"], r["transcript"])
         np.testing.assert_array_equal(ref["future_frames"], r["future_frames"])
 
-    # export -> load roundtrip: the deserialized StableHLO artifact (params
-    # baked in, no model code) must reproduce the live session exactly
+    # a video LONGER than the largest bucket truncates (like the training
+    # pipeline) instead of crashing the padded write
+    long_feats = np.concatenate([v0["features"]] * 3)[:70]
+    long_depth = np.concatenate([v0["depth"]] * 3)[:70]
+    r_long = session.anticipate(long_feats, long_depth, future_len=25)
+    assert r_long["future_frames"].shape == (25,)
+    assert r_long["seg"].shape[0] == 64  # bucket-truncated observed length
+
+    # export -> load roundtrip: the deserialized StableHLO artifact (stored
+    # params, no model code) must reproduce the live session exactly; a
+    # non-power-of-two max_batch must still cover the padded batch shapes
     from r3d_tpu.serving import ExportedSession
 
+    session3 = InferenceSession(cfg, session.variables, source.n_class,
+                                max_batch=3)
     art = str(tmp_path / "artifact")
-    session.export(art)
+    session3.export(art)
     served = ExportedSession.load(art)
-    res_exp = served.anticipate_batch(vids, future_len=25)
-    for a, b in zip(res5, res_exp):
+    res_exp = served.anticipate_batch(vids, future_len=25)  # chunks of 3+2
+    res_live = session3.anticipate_batch(vids, future_len=25)
+    for a, b in zip(res_live, res_exp):
         np.testing.assert_array_equal(a["transcript"], b["transcript"])
         np.testing.assert_array_equal(a["future_frames"], b["future_frames"])
         np.testing.assert_array_equal(a["seg"], b["seg"])
