@@ -254,6 +254,46 @@ def test_fit_cached_unsupervised_equals_fit():
     )
 
 
+def test_fit_cached_resume(tmp_path):
+    """--resume through the cached path: restore the rolling last checkpoint
+    and continue from the recorded epoch."""
+    from r3d_tpu.train.checkpoint import Checkpointer
+
+    src = make_source(depth=True)
+    cfg = small_cfg(src)
+    cache = build_cache(
+        source_videos(src), OBS, SR, NQ, src.pad_idx, src.n_class, BUCKETS,
+    )
+    fn, n = src.make_example_fn(OBS, SR, NQ)
+    from r3d_tpu.data.pipeline import BucketedLoader
+
+    val = BucketedLoader(
+        num_examples=n, make_example_fn=fn, batch_size=4,
+        pad_idx=src.pad_idx, buckets=BUCKETS, n_query=NQ, with_depth=True,
+        shuffle=False,
+    )
+    example = next(iter(val))
+    ckpt = Checkpointer(str(tmp_path))
+
+    t = Trainer(cfg, src.n_class)
+    s = t.init_state(jax.random.PRNGKey(7), example, 2)
+    s = t.fit_cached(s, cache, val, seed=1, checkpointer=ckpt,
+                     log=lambda *a: None)
+    steps_after_2 = int(s.step)
+    assert ckpt.has("seed_1_last")
+
+    t2 = Trainer(cfg, src.n_class)
+    template = t2.init_state(jax.random.PRNGKey(0), example, 2)
+    restored = ckpt.restore_last(1, template)
+    assert int(restored.step) == steps_after_2
+    cfg3 = cfg.replace(train=dataclasses.replace(cfg.train, epochs=3))
+    t3 = Trainer(cfg3, src.n_class)
+    t3.tx = t2.tx
+    s3 = t3.fit_cached(restored, cache, val, seed=1, log=lambda *a: None,
+                       start_epoch=2)
+    assert int(s3.step) > steps_after_2  # one more epoch ran
+
+
 def test_cache_memory_guard():
     src = make_source(depth=True)
     with pytest.raises(MemoryError):
