@@ -241,6 +241,101 @@ class InferenceSession:
         return self.anticipate_batch([video], future_len)[0]
 
 
+class ServingQueue:
+    """Concurrent-request batching front-end over an InferenceSession.
+
+    ``submit()`` returns a Future; a background thread coalesces pending
+    requests into ``anticipate_batch`` calls (up to ``session.max_batch``
+    per drain, waiting at most ``max_wait_ms`` after the first request), so
+    concurrent clients share compiled programs and device dispatches instead
+    of serializing single-video forwards.
+    """
+
+    def __init__(self, session: InferenceSession, max_wait_ms: float = 5.0):
+        import queue as _queue
+        import threading
+        from concurrent.futures import Future
+
+        self.session = session
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._Future = Future
+        self._closed = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, features: np.ndarray,
+               depth: Optional[np.ndarray] = None,
+               future_len: Optional[int] = None):
+        """Enqueue one video; returns a concurrent.futures.Future whose
+        result is the same dict ``anticipate`` returns."""
+        if self._closed:
+            raise RuntimeError("ServingQueue is closed")
+        fut = self._Future()
+        video = {"features": features}
+        if depth is not None:
+            video["depth"] = depth
+        self._q.put((video, future_len, fut))
+        return fut
+
+    def anticipate(self, features, depth=None, future_len=None):
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(features, depth, future_len).result()
+
+    def _loop(self):
+        import queue as _queue
+        import time as _time
+
+        while True:
+            try:
+                item = self._q.get(timeout=0.1)
+            except _queue.Empty:
+                if self._closed:
+                    return
+                continue
+            if item is None:
+                return
+            batch = [item]
+            deadline = _time.time() + self.max_wait_s
+            while len(batch) < self.session.max_batch:
+                remaining = deadline - _time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except _queue.Empty:
+                    break
+                if nxt is None:
+                    self._drain(batch)
+                    return
+                batch.append(nxt)
+            self._drain(batch)
+
+    def _drain(self, batch):
+        # anticipate_batch takes one future_len for the whole call — group
+        # requests that share it
+        groups: Dict = collections.defaultdict(list)
+        for video, future_len, fut in batch:
+            groups[future_len].append((video, fut))
+        for future_len, items in groups.items():
+            try:
+                results = self.session.anticipate_batch(
+                    [v for v, _ in items], future_len
+                )
+                for (_, fut), res in zip(items, results):
+                    fut.set_result(res)
+            except BaseException as e:  # surface per-request
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def close(self):
+        """Stop accepting requests and drain the queue."""
+        self._closed = True
+        self._q.put(None)
+        self._thread.join()
+
+
 class ExportedSession(InferenceSession):
     """Serve an ``InferenceSession.export`` artifact: deserialized StableHLO
     programs with baked-in params — no model code, flax, or checkpoint

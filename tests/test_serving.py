@@ -79,6 +79,29 @@ def test_session_from_checkpoint(disk_dataset, tmp_path):  # noqa: F811
     # non-power-of-two max_batch must still cover the padded batch shapes
     from r3d_tpu.serving import ExportedSession
 
+    # concurrent batching front-end: submitted requests coalesce into
+    # fewer anticipate_batch drains and return the exact per-video results
+    from r3d_tpu.serving import ServingQueue
+
+    drains = []
+    orig = session.anticipate_batch
+
+    def counting(videos_, future_len=None):
+        drains.append(len(videos_))
+        return orig(videos_, future_len)
+
+    session.anticipate_batch = counting
+    q = ServingQueue(session, max_wait_ms=200)
+    futs = [q.submit(v["features"], v["depth"], 25) for v in vids]
+    for f, want in zip(futs, res5):
+        got = f.result(timeout=120)
+        np.testing.assert_array_equal(got["future_frames"],
+                                      want["future_frames"])
+    q.close()
+    session.anticipate_batch = orig
+    assert sum(drains) == len(vids)
+    assert len(drains) < len(vids)  # at least some coalescing happened
+
     session3 = InferenceSession(cfg, session.variables, source.n_class,
                                 max_batch=3)
     art = str(tmp_path / "artifact")
