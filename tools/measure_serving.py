@@ -73,11 +73,41 @@ def main(n_warm=3, n_iter=30):
     session.anticipate_batch(videos)
     batch_sec = time.time() - t0
 
+    # concurrent clients through the batching front-end: 4 threads x 8
+    # videos submitted individually, coalesced by ServingQueue
+    import threading
+
+    from r3d_tpu.serving import ServingQueue
+
+    q = ServingQueue(session, max_wait_ms=20)
+    futs = []
+    lock = threading.Lock()
+
+    def client(chunk):
+        for v in chunk:
+            f = q.submit(v["features"], v["depth"])
+            with lock:
+                futs.append(f)
+
+    t0 = time.time()
+    threads = [
+        threading.Thread(target=client, args=(videos[i::4],)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for f in futs:
+        f.result()
+    queue_sec = time.time() - t0
+    q.close()
+
     out = {
         "workload": "serving futr_fusion_bn S<=256 h=128 (bucket 256)",
         "p50_latency_ms": round(float(np.percentile(lats, 50)), 2),
         "p95_latency_ms": round(float(np.percentile(lats, 95)), 2),
         "batched_videos_per_sec": round(32 / batch_sec, 1),
+        "queued_concurrent_videos_per_sec": round(32 / queue_sec, 1),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
