@@ -193,9 +193,7 @@ class InferenceSession:
             lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
             variables_np,
         )
-        fn = jax.jit(
-            lambda v, *args: self.model.apply(v, *args, train=False)
-        )
+        fn = self._forward  # the same jitted forward the live session runs
         shapes = []
         for S in cfg.data.seq_buckets:
             # anticipate_batch pads chunks to the next power of two, which
@@ -261,6 +259,7 @@ class ServingQueue:
         self._q: "_queue.Queue" = _queue.Queue()
         self._Future = Future
         self._closed = False
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -269,13 +268,16 @@ class ServingQueue:
                future_len: Optional[int] = None):
         """Enqueue one video; returns a concurrent.futures.Future whose
         result is the same dict ``anticipate`` returns."""
-        if self._closed:
-            raise RuntimeError("ServingQueue is closed")
         fut = self._Future()
         video = {"features": features}
         if depth is not None:
             video["depth"] = depth
-        self._q.put((video, future_len, fut))
+        # closed-check + put under one lock: a request enqueued after the
+        # close sentinel would never resolve
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("ServingQueue is closed")
+            self._q.put((video, future_len, fut))
         return fut
 
     def anticipate(self, features, depth=None, future_len=None):
@@ -322,17 +324,22 @@ class ServingQueue:
                 results = self.session.anticipate_batch(
                     [v for v, _ in items], future_len
                 )
-                for (_, fut), res in zip(items, results):
-                    fut.set_result(res)
             except BaseException as e:  # surface per-request
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
+                continue
+            # deliver per future OUTSIDE the shared try: one cancelled
+            # future must not poison its groupmates' results
+            for (_, fut), res in zip(items, results):
+                if not fut.cancelled():
+                    fut.set_result(res)
 
     def close(self):
         """Stop accepting requests and drain the queue."""
-        self._closed = True
-        self._q.put(None)
+        with self._submit_lock:
+            self._closed = True
+            self._q.put(None)
         self._thread.join()
 
 
@@ -361,9 +368,11 @@ class ExportedSession(InferenceSession):
                 depth_shape=tuple(meta["depth_shape"]),
             )
         )
-        self.variables = np.load(
-            os.path.join(path, "params.npy"), allow_pickle=True
-        ).item()
+        # params land on device ONCE — passing host numpy would re-transfer
+        # the full weight set H2D on every request
+        self.variables = jax.device_put(
+            np.load(os.path.join(path, "params.npy"), allow_pickle=True).item()
+        )
         # programs deserialize lazily per shape — a request touches one or
         # two of them
         self._blobs = {
