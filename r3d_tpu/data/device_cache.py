@@ -15,8 +15,9 @@ HBM ONCE and assemble batches on device:
   video, masked by the view's observed window — bit-identical to the host
   collate (``pipeline.pad_batch``), verified in tests/test_device_cache.py;
 - the gather runs INSIDE the jitted train step, so an epoch needs only a tiny
-  [steps, B] int32 index table from the host; combined with
-  ``Trainer.make_cached_multi_step`` a whole epoch is one dispatch.
+  [steps, B] int32 index table from the host; with
+  ``Trainer.make_cached_train_fn`` scanning K steps per dispatch, a
+  single-bucket epoch is one dispatch.
 
 Transcripts (run-length encoding of the future window) stay a host-side
 precompute per view — they are [n_query]-sized and data-dependent, exactly
