@@ -102,6 +102,21 @@ def test_session_from_checkpoint(disk_dataset, tmp_path):  # noqa: F811
     assert sum(drains) == len(vids)
     assert len(drains) < len(vids)  # at least some coalescing happened
 
+    # close() drains already-queued requests before stopping
+    q2 = ServingQueue(session, max_wait_ms=1)
+    futs2 = [q2.submit(v["features"], v["depth"], 25) for v in vids[:3]]
+    q2.close()
+    for f in futs2:
+        assert f.result(timeout=60)["future_frames"].shape == (25,)
+
+    # a cancelled future must not poison its groupmates' results
+    q3 = ServingQueue(session, max_wait_ms=500)
+    f_a = q3.submit(vids[0]["features"], vids[0]["depth"], 25)
+    f_b = q3.submit(vids[1]["features"], vids[1]["depth"], 25)
+    f_b.cancel()
+    assert f_a.result(timeout=60)["future_frames"].shape == (25,)
+    q3.close()
+
     session3 = InferenceSession(cfg, session.variables, source.n_class,
                                 max_batch=3)
     art = str(tmp_path / "artifact")
