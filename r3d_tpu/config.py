@@ -201,7 +201,28 @@ class EvalConfig:
     eval_p: Tuple[float, ...] = (0.1, 0.2, 0.3, 0.5)
     obs_percs: Tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     pred_p: float = 0.5
-    max_eval_len: Optional[int] = None  # predict_breakfast.py:116 skips seqs >2000
+    # predict_breakfast.py:116 skips a video when its OBSERVED strided row
+    # count exceeds this (past_len/sample_rate > 2000), not its total length
+    max_eval_len: Optional[int] = None
+    # anticipation-accuracy protocol of the entry point's live predict file:
+    # 'weighted'   — 10x transition weight, per-video mean
+    #                (predict_utkinects.py:105-137, make_gif.py:105,
+    #                predict_nturgbd.py:105)
+    # 'unweighted' — plain accuracy, per-video mean (predict_breakfast.py:36)
+    # 'micro'      — correct/total counts pooled over all videos
+    #                (predict_50salads.py:66-96, 198-232)
+    ant_acc_mode: str = "weighted"
+    # gt class dropped from the ant-accuracy count — the EVAL-side id the
+    # live predict passes (16 predict_utkinects.py:328 / make_gif.py:370,
+    # 120 predict_nturgbd.py:330; breakfast/50salads pass 10/5 but their
+    # accuracy fns comment the exclusion out, so None there)
+    exclude_class_idx: Optional[int] = None
+    # predict_breakfast.py:239-252 (LIVE code): the gt query stream is
+    # re-encoded as an ALTERNATING 0/1 segment-parity sequence before
+    # conditioning the model — train feeds raw ids (train_proposed.py:72-85
+    # keeps the same loop commented out).  Replicated at predict only,
+    # matching the reference's observable behavior (COMPAT #27).
+    query_mod2: bool = False
 
 
 @dataclass(frozen=True)
@@ -253,6 +274,7 @@ CONFIGS = {
         ),
         train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0,
                           device_cache=True),
+        eval=EvalConfig(ant_acc_mode="micro"),  # main.py:23 -> predict_50salads
     ),
     # 50salads proposed path (main_proposed_50salads.py): L1 targets derived
     # from the L2 gt, gt-L2 query conditioning, 3-seed protocol
@@ -281,6 +303,8 @@ CONFIGS = {
         ),
         train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0,
                           device_cache=True),
+        # predict_50salads.py:198-232: micro-pooled plain ant accuracy
+        eval=EvalConfig(ant_acc_mode="micro"),
     ),
     # FUTR on Breakfast (scripts/bf_train.sh:2-6)
     "breakfast": _cfg(
@@ -298,6 +322,7 @@ CONFIGS = {
         ),
         train=TrainConfig(loop="futr", batch_size=16, epochs=60, min_train_batch=0,
                           device_cache=True),
+        eval=EvalConfig(ant_acc_mode="micro"),  # main.py:23 -> predict_50salads
     ),
     # Breakfast with the L3-query channel (main_proposed.py: actions from
     # mapping_l2.txt, query stream from mapping.txt via
@@ -327,7 +352,10 @@ CONFIGS = {
         ),
         train=TrainConfig(loop="futr", batch_size=16, epochs=60,
                           min_train_batch=0, device_cache=True),
-        eval=EvalConfig(max_eval_len=2000),  # predict_breakfast.py:116-117
+        # predict_breakfast.py: observed-row skip at 2000 (:216), per-video
+        # plain ant accuracy (:36), live 0/1 query re-encoding (:239-252)
+        eval=EvalConfig(max_eval_len=2000, ant_acc_mode="unweighted",
+                        query_mod2=True),
     ),
     # UTKinect RGB+depth token fuser (main_utkinects.py — primary proposed path).
     # Batches store bf16 and the wide input projections run bf16 (fp32
@@ -340,6 +368,9 @@ CONFIGS = {
         model=ModelConfig(model="futr_fusion_bn", embed_dtype="bfloat16"),
         train=TrainConfig(loop="proposed_depth", exclude_class_idx=47, weighted_ce=True,
                           device_cache=True),
+        # eval-side ant exclusion is 16 (predict_utkinects.py:328), distinct
+        # from the train loop's 47
+        eval=EvalConfig(exclude_class_idx=16),
     ),
     # DARai multi-modal unsupervised curriculum (main_darai.py)
     "darai": _cfg(
@@ -360,6 +391,7 @@ CONFIGS = {
             loop="unsupervised", exclude_class_idx=None,
             l3_pad_idx=47, l3_exclude_idx=48, device_cache=True,
         ),
+        eval=EvalConfig(exclude_class_idx=16),  # make_gif.py:370
     ),
     # NTURGBD RGB-D fusion (main_nturgbd.py; fusion wiring, not the RNN ablation)
     "nturgbd": _cfg(
@@ -372,6 +404,7 @@ CONFIGS = {
                           embed_dtype="bfloat16"),
         train=TrainConfig(loop="proposed_depth", exclude_class_idx=120, weighted_ce=True,
                           device_cache=True),
+        eval=EvalConfig(exclude_class_idx=120),  # predict_nturgbd.py:330
     ),
     # Synthetic smoke config (tests / bench without datasets on disk)
     "synthetic": _cfg(

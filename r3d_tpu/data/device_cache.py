@@ -168,17 +168,23 @@ def build_cache(
     for vi, v in enumerate(videos):
         idx = np.asarray(v["label_idx"])
         vid_len = len(idx)
+        n_feat = len(v["features"])
         for obs in obs_percs:
             observed = int(obs * vid_len)
             pred = int(0.5 * vid_len)
             past = idx[:observed][::sample_rate]
+            # the host collate truncates past_label/query to the FEATURE
+            # stream's strided row count (pad_batch's s = min(feat rows, S));
+            # clamp the view window the same way so a video whose feature
+            # file is a few rows short of its gt still matches bit-for-bit
+            feat_rows = -(-min(n_feat, observed) // sample_rate)
             future = idx[observed : observed + pred][::sample_rate]
             trans, trans_dur = indices_to_transcript(future)
             target, dur = pad_transcript(
                 trans, trans_dur, n_query, pad_idx, none_idx
             )
             view_vid.append(vi)
-            view_nrows.append(len(past))
+            view_nrows.append(min(len(past), feat_rows))
             tgts.append(target.astype(np.int32))
             durs.append(dur.astype(np.float32))
 
@@ -214,13 +220,22 @@ def probe_footprint(source, cfg, max_bytes: int) -> None:
         est = 0
         itemsize = 2 if cfg.feature_dtype == "bfloat16" else 4
         lf, ld = [], []
+        seen_depth = set()
         for vid, seq in source.units():
             vid_file = vid.split("/")[-1]
             f = np.load(source._feature_file(vid_file, seq), mmap_mode="r")
             lf.append(f.shape)
             if source.depth_path is not None:
-                d = np.load(source._depth_file(vid_file, seq), mmap_mode="r")
-                ld.append(d.shape)
+                # multi-sequence units share one whole-video depth file
+                # (always the seq-1 stack; load_video slices it per
+                # sequence) — counting the full stack once per UNIT would
+                # inflate the estimate ~n_sequences-fold and spuriously
+                # force the host-loader fallback
+                dpath = source._depth_file(vid_file, seq)
+                if dpath not in seen_depth:
+                    seen_depth.add(dpath)
+                    d = np.load(dpath, mmap_mode="r")
+                    ld.append(d.shape)
         if lf:
             # breakfast/50salads store [C, S] (features_transposed)
             rows = lambda s: s[-1] if cfg.features_transposed else s[0]

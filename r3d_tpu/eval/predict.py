@@ -29,6 +29,26 @@ from r3d_tpu.eval.decode import decode_anticipation
 from r3d_tpu.eval.moc import MoCAccumulator
 
 
+def alternating_query(q: np.ndarray) -> np.ndarray:
+    """predict_breakfast.py:239-252 (live code): re-encode a query id
+    sequence as segment-parity 0/1 — 0 for the first run of equal ids,
+    toggling at every change.  Equals (number of changes so far) mod 2."""
+    q = np.asarray(q)
+    changes = np.concatenate([[0], (q[1:] != q[:-1]).astype(np.int64)])
+    return (np.cumsum(changes) % 2).astype(q.dtype)
+
+
+def alternating_query_jnp(q: jnp.ndarray) -> jnp.ndarray:
+    """jnp twin of alternating_query over [B, S] rows (device-cached sweep).
+    Rows past a view's real length are harmless: masked keys don't reach
+    real outputs and their metrics are never read."""
+    changes = jnp.concatenate(
+        [jnp.zeros_like(q[:, :1]), (q[:, 1:] != q[:, :-1]).astype(q.dtype)],
+        axis=1,
+    )
+    return jnp.cumsum(changes, axis=1) % 2
+
+
 def weighted_anticipation_accuracy(
     pred_actions: np.ndarray,     # [Q] decoded transcript actions
     future_labels: np.ndarray,    # [T_future] gt labels (subsampled window)
@@ -84,6 +104,7 @@ class Predictor:
 
         sr = config.data.sample_rate
         needs_query = self.needs_query
+        qmod2 = config.eval.query_mod2
 
         @functools.partial(jax.jit, static_argnums=(4,))
         def cached_forward(variables, data, vid, real_s, S):
@@ -92,7 +113,13 @@ class Predictor:
             if "depth" in b:
                 args.append(b["depth"])
             elif needs_query:
-                args.append(b.get("query"))
+                q = b.get("query")
+                if (
+                    qmod2 and q is not None
+                    and jnp.issubdtype(q.dtype, jnp.integer)
+                ):
+                    q = alternating_query_jnp(q)
+                args.append(q)
             args.append(b["mask"])
             return model.apply(variables, *args, train=False)
 
@@ -107,13 +134,16 @@ class Predictor:
             v = source.load_video(vid, seq)
             labels_idx = v["label_idx"]
             vid_len = len(labels_idx)
-            if cfg.eval.max_eval_len and vid_len > cfg.eval.max_eval_len:
-                continue  # predict_breakfast.py:116-117
             past_len = int(obs_p * vid_len)
             if past_len < 1:
                 continue
             feats = v["features"][:past_len][::sample_rate]
             real_s = feats.shape[0]
+            if cfg.eval.max_eval_len and real_s > cfg.eval.max_eval_len:
+                # the reference skips on the OBSERVED strided row count
+                # (past_len/sample_rate > 2000, predict_breakfast.py:216) —
+                # a long video still evaluates at small obs ratios
+                continue
             S = bucket_length(real_s, cfg.data.seq_buckets)
             item = {
                 "vid": vid, "seq": seq, "ui": ui,
@@ -124,7 +154,12 @@ class Predictor:
             if "depth" in v:
                 item["depth"] = v["depth"][:past_len][::sample_rate]
             if self.needs_query and v.get("query_idx") is not None:
-                item["query"] = v["query_idx"][:past_len][::sample_rate]
+                q = v["query_idx"][:past_len][::sample_rate]
+                if cfg.eval.query_mod2 and np.issubdtype(
+                    np.asarray(q).dtype, np.integer
+                ):
+                    q = alternating_query(np.asarray(q))
+                item["query"] = q
             groups[S].append(item)
         return groups
 
@@ -260,10 +295,25 @@ class Predictor:
             n = min(len(future_sub), len(pred_actions))
             for j in range(n):
                 dump.append(f"{j}\t{int(future_sub[j])}\t{int(pred_actions[j])}")
-        stats["ant"] += weighted_anticipation_accuracy(
-            pred_actions, future_sub, last_obs,
-            exclude_class_idx=cfg.train.exclude_class_idx,
-        )
+        # ant-accuracy protocol follows the entry point's live predict file
+        # (EvalConfig.ant_acc_mode); the exclusion id is the EVAL-side one
+        # (predict_utkinects.py:328 passes 16 where the train loop uses 47)
+        mode = cfg.eval.ant_acc_mode
+        if mode == "weighted":
+            stats["ant"] += weighted_anticipation_accuracy(
+                pred_actions, future_sub, last_obs,
+                exclude_class_idx=cfg.eval.exclude_class_idx,
+            )
+        else:
+            nn_ = min(len(future_sub), len(pred_actions))
+            correct = int(np.sum(pred_actions[:nn_] == future_sub[:nn_]))
+            if mode == "micro":
+                # predict_50salads.py:198-232: counts pool over all videos
+                stats["ant_correct"] += correct
+                stats["ant_total"] += nn_
+            else:
+                # predict_breakfast.py:36-70: per-video plain accuracy
+                stats["ant"] += (correct / nn_) if nn_ else 0.0
         if "seg" in outputs:
             seg_pred = np.argmax(outputs["seg"][i], axis=-1)
             past_sub = labels_idx[:past_len][::sample_rate]
@@ -317,7 +367,8 @@ class Predictor:
             for o in obs_list
         }
         stats = {
-            o: dict(ant=0.0, seg=0.0, l3_correct=0, l3_total=0, n=0)
+            o: dict(ant=0.0, seg=0.0, l3_correct=0, l3_total=0, n=0,
+                    ant_correct=0, ant_total=0)
             for o in obs_list
         }
         dumps = {o: [] for o in obs_list} if dump_dir is not None else None
@@ -351,7 +402,10 @@ class Predictor:
             results = accs[o].results(o)
             accs[o].print_results(o)
             st = stats[o]
-            results["ant_acc"] = st["ant"] / max(st["n"], 1)
+            if cfg.eval.ant_acc_mode == "micro":
+                results["ant_acc"] = st["ant_correct"] / max(st["ant_total"], 1)
+            else:
+                results["ant_acc"] = st["ant"] / max(st["n"], 1)
             results["seg_acc"] = st["seg"] / max(st["n"], 1)
             if st["l3_total"]:
                 results["l3_acc"] = st["l3_correct"] / st["l3_total"]

@@ -96,11 +96,15 @@ class FUTRUnsupervised(nn.Module):
         dt = _dtype(cfg)
         src = InputEmbed(cfg, self.n_class, name="embed")(features)
 
-        # sinusoidal PE + dropout on the source (futr_unsupervised.py:106,
-        # extras/position.py:15-35)
         pe = sinusoidal_positional_encoding(cfg.max_pos_len, cfg.hidden_dim)[:S]
-        src = src + pe[None].astype(src.dtype)
-        src = nn.Dropout(0.1)(src, deterministic=not train)
+        if self.query_source in ("self_attention", "depth"):
+            # sinusoidal PE + dropout on the source (futr_unsupervised.py:106,
+            # futr_unsupervised_depth.py:99, extras/position.py:15-35).
+            # futr_proposed.py:93-97 and the gaze model (multimodal.py:117-121)
+            # do NOT position-encode src — the learned pos embedding rides
+            # into the attention layers instead.
+            src = src + pe[None].astype(src.dtype)
+            src = nn.Dropout(0.1)(src, deterministic=not train)
 
         l3_stream = None
         seg_override = None  # temp2: seg rides the pre-l3-add stream
@@ -134,13 +138,18 @@ class FUTRUnsupervised(nn.Module):
             )
             action_query = q + pe_q[None].astype(q.dtype)
         elif self.query_source == "depth":
-            # futr_unsupervised_depth.py: queries = sinusoidal-PE'd projected
-            # depth frames (depth_projection + LN + ReLU, then pos_enc)
+            # futr_unsupervised_depth.py:108-115: queries = sinusoidal-PE'd
+            # projected depth frames (depth_projection + LN + ReLU, then
+            # pos_enc_depth — a PositionalEncoding module, so the PE add is
+            # followed by its dropout(0.1))
             assert query is not None, "depth mode needs the raw depth stream"
             from r3d_tpu.models.futr_fusion import DepthEmbed
 
             q = DepthEmbed(cfg, name="depth_embed")(query)
             action_query = q + pe[None].astype(q.dtype)
+            action_query = nn.Dropout(0.1)(
+                action_query, deterministic=not train
+            )
         else:
             attn = MultiheadAttention(
                 cfg.hidden_dim, cfg.n_head, dropout=0.0, dtype=dt,
@@ -171,20 +180,28 @@ class FUTRUnsupervised(nn.Module):
                     q_emb[None].astype(src.dtype), (B, cfg.n_query, cfg.hidden_dim)
                 )
 
-        # The L3 head is per-frame (fc_l3 over the full S-length query stream,
-        # futr_unsupervised.py:163), but the decoder queries must be pooled to
-        # n_query: the as-committed futr_unsupervised.py feeds S queries whose
-        # anticipation logits [B,S,C] cannot meet the loop's [B,n_query]
-        # targets (train_unsupervised.py:340 would crash); the runnable
-        # variants (futr_unsupervised_temp4.py and the Transformer's internal
-        # L3 path, transformer.py:121) adaptive-avg-pool to n_query — adopted
-        # here (COMPAT.md #18).
+        # Decoder query length differs per variant:
+        # - gt/depth (futr_proposed.py:101-124, futr_unsupervised_depth.py:
+        #   115-135): the decoder runs on ALL S queries and the decoder
+        #   OUTPUT adaptive-avg-pools down to n_query (pooled_tgt) before the
+        #   action/duration heads.
+        # - self_attention: the as-committed futr_unsupervised.py feeds S
+        #   queries and does NOT pool the decoder output, so its [B,S,C]
+        #   anticipation logits cannot meet the loop's [B,n_query] targets
+        #   (train_unsupervised.py:340 would crash); the runnable variants
+        #   (futr_unsupervised_temp4.py, transformer.py:121's internal L3
+        #   path) adaptive-avg-pool the QUERIES to n_query — adopted here
+        #   (COMPAT.md #18).
         query_stream = l3_stream if self.variant == "temp2" else action_query
-        from r3d_tpu.models.layers import adaptive_avg_pool1d
+        from r3d_tpu.models.layers import (
+            adaptive_avg_pool1d,
+            masked_adaptive_avg_pool1d,
+        )
 
+        pool_after_decode = self.query_source in ("gt", "depth")
         pooled_query = (
             action_query
-            if self.variant == "temp2"  # already n_query learned queries
+            if self.variant == "temp2" or pool_after_decode
             else adaptive_avg_pool1d(action_query, cfg.n_query)
         )
 
@@ -194,7 +211,20 @@ class FUTRUnsupervised(nn.Module):
             n_query=cfg.n_query, max_pos_len=cfg.max_pos_len,
             sow_attn=cfg.sow_attn,
             dtype=dt, name="transformer",
-        )(src, pos, pooled_query, src_pad_mask, deterministic=not train)
+        )(src, pos, pooled_query, src_pad_mask, deterministic=not train,
+          tgt_key_padding_mask=src_pad_mask if pool_after_decode else None)
+        if pool_after_decode:
+            # pooled_tgt (futr_proposed.py:124, futr_unsupervised_depth.py:
+            # 135): the decoder output over all S queries adaptive-avg-pools
+            # down to n_query. On padded bucket batches the pool bins follow
+            # each row's TRUE length (and padded query rows are masked out of
+            # the decoder self-attention above), so the batched result equals
+            # the reference's unpadded per-video forward.
+            if src_pad_mask is not None:
+                lengths = jnp.sum(~src_pad_mask, axis=1)
+                hs = masked_adaptive_avg_pool1d(hs, cfg.n_query, lengths)
+            else:
+                hs = adaptive_avg_pool1d(hs, cfg.n_query)
 
         out = Heads(cfg, self.n_class, name="heads")(
             hs, memory if seg_override is None else seg_override

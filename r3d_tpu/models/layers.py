@@ -174,12 +174,17 @@ class DecoderLayer(nn.Module):
         query_pos: Optional[jnp.ndarray],
         memory_key_padding_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        tgt_key_padding_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        # tgt_key_padding_mask: used by the S-length query models (gt/depth)
+        # so padded query rows cannot contaminate real rows through the
+        # decoder self-attention — the reference evaluates per video with no
+        # padding (predict_breakfast.py:255), so masked == its B=1 forward
         q = tgt if query_pos is None else tgt + query_pos
         sa = MultiheadAttention(
             self.dim, self.n_head, self.dropout, sow_weights=self.sow_attn,
             dtype=self.dtype, name="self_attn",
-        )(q, q, q, deterministic=deterministic)
+        )(q, q, q, tgt_key_padding_mask, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(sa, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt)
 
@@ -224,8 +229,32 @@ def adaptive_avg_pool1d(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
     """
     T = x.shape[1]
     starts = (jnp.arange(out_len) * T) // out_len
-    ends = -(-(jnp.arange(out_len) + 1) * T) // out_len  # ceil
+    ends = -((-(jnp.arange(out_len) + 1) * T) // out_len)  # ceil
     t = jnp.arange(T)
     sel = (t[None, :] >= starts[:, None]) & (t[None, :] < ends[:, None])
     weights = sel.astype(x.dtype) / jnp.maximum(ends - starts, 1)[:, None].astype(x.dtype)
     return jnp.einsum("ot,btc->boc", weights, x)
+
+
+def masked_adaptive_avg_pool1d(
+    x: jnp.ndarray, out_len: int, lengths: jnp.ndarray
+) -> jnp.ndarray:
+    """adaptive_avg_pool1d over only the first ``lengths[b]`` valid rows of
+    each example — bin boundaries follow each row's TRUE length, exactly what
+    torch's pool computes on an unpadded [1, L, C] input.
+
+    Needed because the gt/depth query models pool the DECODER OUTPUT
+    (futr_proposed.py:124); on our padded bucket batches a static pool would
+    mix pad rows into every bin and shift the bin edges.  Per-row boundaries
+    make the batched result equal the reference's per-video forward.
+    """
+    S = x.shape[1]
+    q = jnp.arange(out_len)[None, :]                      # [1, n]
+    L = lengths.astype(jnp.int32)[:, None]                # [B, 1]
+    starts = (q * L) // out_len                           # [B, n]
+    ends = -((-(q + 1) * L) // out_len)                   # ceil
+    s = jnp.arange(S)[None, None, :]
+    sel = (s >= starts[..., None]) & (s < ends[..., None])  # [B, n, S]
+    w = sel.astype(x.dtype)
+    w = w / jnp.maximum(w.sum(-1, keepdims=True), 1)
+    return jnp.einsum("bns,bsc->bnc", w, x)

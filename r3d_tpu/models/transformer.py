@@ -55,13 +55,14 @@ class TransformerDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos, memory_key_padding_mask=None,
-                 deterministic=True):
+                 deterministic=True, tgt_key_padding_mask=None):
         out = tgt
         for i in range(self.n_layers):
             out = DecoderLayer(
                 self.dim, self.n_head, self.ffn_dim, self.dropout,
                 sow_attn=self.sow_attn, dtype=self.dtype, name=f"layer{i}",
-            )(out, memory, pos, query_pos, memory_key_padding_mask, deterministic)
+            )(out, memory, pos, query_pos, memory_key_padding_mask,
+              deterministic, tgt_key_padding_mask)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
 
 
@@ -94,6 +95,7 @@ class FUTRTransformer(nn.Module):
         query_pos: Optional[jnp.ndarray],       # [B, Q, C] action queries
         src_key_padding_mask: Optional[jnp.ndarray] = None,  # [B, S] True=pad
         deterministic: bool = True,
+        tgt_key_padding_mask: Optional[jnp.ndarray] = None,  # [B, Q] True=pad
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self.use_encoder:
             memory = TransformerEncoder(
@@ -122,5 +124,6 @@ class FUTRTransformer(nn.Module):
             self.dim, self.n_head, self.n_decoder_layers, self.ffn_dim,
             self.dropout, sow_attn=self.sow_attn, dtype=self.dtype,
             name="decoder",
-        )(tgt, memory, pos, query_pos, src_key_padding_mask, deterministic)
+        )(tgt, memory, pos, query_pos, src_key_padding_mask, deterministic,
+          tgt_key_padding_mask)
         return memory, hs

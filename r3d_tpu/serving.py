@@ -16,6 +16,7 @@ frame labels) runs on host, vectorized.
 from __future__ import annotations
 
 import collections
+from concurrent.futures import InvalidStateError
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -114,11 +115,17 @@ class InferenceSession:
                 frames, norm_dur = decode_anticipation(
                     actions[j], durs[j], horizon, none_idx
                 )
+                # overlong inputs were truncated to the last bucket on the
+                # way in — the frame-wise segmentation covers only that
+                # truncated window, so slice with the truncated length
+                # (segs.shape[1] == S) instead of letting numpy clamp
+                # silently
+                r_seg = None if segs is None else min(r, segs.shape[1])
                 results[i] = {
                     "transcript": np.argmax(actions[j], -1),
                     "durations": norm_dur,
                     "future_frames": frames,
-                    "seg": None if segs is None else segs[j, :r],
+                    "seg": None if segs is None else segs[j, :r_seg],
                 }
 
         for S, idxs in order.items():
@@ -326,14 +333,22 @@ class ServingQueue:
                 )
             except BaseException as e:  # surface per-request
                 for _, fut in items:
-                    if not fut.done():
+                    try:
                         fut.set_exception(e)
+                    except InvalidStateError:
+                        pass  # client cancelled concurrently
                 continue
             # deliver per future OUTSIDE the shared try: one cancelled
-            # future must not poison its groupmates' results
+            # future must not poison its groupmates' results.  A client can
+            # cancel between any done-check and the set — set_result on a
+            # cancelled future raises InvalidStateError, which would kill
+            # the drain thread and hang every later submit(), so the set
+            # itself is the guarded operation
             for (_, fut), res in zip(items, results):
-                if not fut.cancelled():
+                try:
                     fut.set_result(res)
+                except InvalidStateError:
+                    pass
 
     def close(self):
         """Stop accepting requests and drain the queue."""

@@ -301,3 +301,40 @@ def test_cache_memory_guard():
             source_videos(src), OBS, SR, NQ, src.pad_idx, src.n_class,
             BUCKETS, max_bytes=1024,
         )
+
+
+def test_assemble_short_feature_stream():
+    """A video whose feature file has FEWER rows than its gt must still
+    match the host collate bit-for-bit: pad_batch truncates past_label to
+    the feature stream's strided length (pipeline.py s = min(feat rows, S)),
+    so the cache's view window clamps the same way (advisor round-2 #1)."""
+    from r3d_tpu.data.protocol import make_example_from_indices
+
+    rng = np.random.RandomState(0)
+    videos = []
+    for n_lab, n_feat in [(100, 100), (100, 91), (80, 62)]:
+        videos.append({
+            "features": rng.randn(n_feat, 16).astype(np.float32),
+            "label_idx": rng.randint(0, 4, size=n_lab),
+            "depth": rng.randn(n_feat, 6, 4).astype(np.float32),
+        })
+    pad_idx, n_class = 4, 6
+    cache = build_cache(videos, OBS, SR, NQ, pad_idx, n_class, BUCKETS)
+
+    examples, view_ids = [], []
+    for vi, v in enumerate(videos):
+        for oi, obs in enumerate(OBS):
+            examples.append(make_example_from_indices(
+                v["features"], v["label_idx"], obs, SR, NQ, pad_idx,
+                n_class, depth_features=v["depth"],
+            ))
+            view_ids.append(vi * len(OBS) + oi)
+    host = pad_batch(examples, pad_idx, BUCKETS, NQ, with_depth=True)
+    S = host["features"].shape[1]
+    dev = assemble(cache.data, jnp.asarray(np.array(view_ids, np.int32)), S,
+                   SR, pad_idx, None)
+    for k in host:
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(dev[k])), np.asarray(host[k]),
+            err_msg=k,
+        )

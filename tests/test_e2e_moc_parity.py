@@ -1,0 +1,463 @@
+"""End-to-end MoC parity vs the REAL reference predict sweeps.
+
+The strongest proxy for number-level quality parity without real data
+mounted: generate a synthetic on-disk dataset in the reference's own layout,
+copy identical (random) weights into the reference torch model and our flax
+model, run the reference's actual ``evaluation/predict_*.py`` sweep on
+torch-CPU, run our ``Predictor`` over the same files, and assert the whole
+MoC table + the secondary anticipation/segmentation accuracies agree.
+
+Components (decode, eval_file, weighted acc) are oracle-tested elsewhere;
+THIS file pins the composition — the full train→predict protocol.
+"""
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import reference_on_path
+
+reference_on_path()
+if os.path.isdir("/root/reference/evaluation"):
+    sys.path.insert(0, "/root/reference/evaluation")
+
+import torch  # noqa: E402
+
+import torch_ref  # noqa: E402
+from r3d_tpu.config import (  # noqa: E402
+    DataConfig, EvalConfig, ModelConfig, TrainConfig, get_config,
+)
+from r3d_tpu.data.datasets import build_source  # noqa: E402
+from r3d_tpu.eval.predict import Predictor  # noqa: E402
+from r3d_tpu.models import build_model  # noqa: E402
+
+torch_ref.patch_cuda_free()
+
+N_ACTIONS = 5
+N_CLASS = N_ACTIONS + 1          # + NONE (reference main_utkinects.py)
+PAD_IDX = N_CLASS + 1
+NQ = 8                           # reference asserts len(pred)==8
+SR = 2
+IN_DIM = 16
+DEPTH_DIM = 24                   # flat per-frame depth (ref Linear input)
+HID = 32
+
+# utkinects prints 'obs. 20% pred. 10%'; breakfast/50salads print without %
+MOC_RE = re.compile(r"obs\. (\d+)%? pred\. (\d+)%? --> MoC: ([\d.]+)")
+
+
+@contextlib.contextmanager
+def redirected_refpaths(tmp_path):
+    """The reference sweeps write logs to hard-coded absolute paths
+    (predict_utkinects.py:252 '/home/seulgi/...'); redirect those opens into
+    tmp so the sweep runs verbatim without touching anything outside tmp."""
+    import builtins
+
+    orig_open = builtins.open
+    logdir = tmp_path / "ref_logs"
+    logdir.mkdir(exist_ok=True)
+
+    def patched_open(file, *args, **kwargs):
+        if isinstance(file, (str, os.PathLike)) and str(file).startswith(
+            "/home/"
+        ):
+            file = str(logdir / os.path.basename(str(file)))
+        return orig_open(file, *args, **kwargs)
+
+    builtins.open = patched_open
+    try:
+        yield
+    finally:
+        builtins.open = orig_open
+
+
+@contextlib.contextmanager
+def chdir(path):
+    old = os.getcwd()
+    os.chdir(path)
+    try:
+        yield
+    finally:
+        os.chdir(old)
+
+
+def parse_moc(stdout: str):
+    return {
+        (int(o), int(p)): float(m) for o, p, m in MOC_RE.findall(stdout)
+    }
+
+
+# --------------------------------------------------------------------------
+# utkinects: CMFuserBN flagship + evaluation/predict_utkinects.py sweep
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def utk_disk(tmp_path_factory):
+    """Reference-layout utkinect dataset: 3-column csv gt, features_img,
+    features_depth (flat [L, D] depth so the reference depth_projection
+    Linear consumes it directly, predict_utkinects.py:270-287)."""
+    root = tmp_path_factory.mktemp("e2e") / "datasets" / "utkinect"
+    rng = np.random.RandomState(7)
+    acts = [f"a{i}" for i in range(N_ACTIONS)]
+    for d in ["features_img", "features_depth", "groundTruth", "splits"]:
+        os.makedirs(root / d, exist_ok=True)
+    (root / "mapping_l2_changed.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(acts))
+    )
+    vids = []
+    for v in range(5):
+        L = int(rng.randint(46, 90))
+        # realistic run-length label structure
+        labels, t = [], 0
+        while len(labels) < L:
+            labels.extend([acts[rng.randint(N_ACTIONS)]] * rng.randint(5, 14))
+        labels = labels[:L]
+        np.save(root / "features_img" / f"v{v}.npy",
+                rng.randn(L, IN_DIM).astype(np.float32))
+        np.save(root / "features_depth" / f"v{v}.npy",
+                rng.randn(L, DEPTH_DIM).astype(np.float32))
+        with open(root / "groundTruth" / f"v{v}.txt", "w") as f:
+            for t, l in enumerate(labels):
+                f.write(f"img{t},{l},q{t % 3}\n")
+        vids.append(f"v{v}.txt")
+    (root / "splits" / "train_split.txt").write_text("\n".join(vids) + "\n")
+    return root
+
+
+def make_ref_fusion_model():
+    from model.futr_safuser_batchnormalization import FUTR as RefFusion
+
+    args = torch_ref.RefArgs(input_dim=IN_DIM, max_pos_len=128,
+                             sample_rate=SR, dataset="utkinects")
+    torch.manual_seed(11)
+    m = RefFusion(
+        N_CLASS, HID, PAD_IDX, torch.device("cpu"), args, n_query=NQ,
+        n_head=4, num_encoder_layers=1, num_decoder_layers=1, query_num=49,
+    )
+    m.depth_projection = torch.nn.Linear(DEPTH_DIM, HID)
+    torch.nn.init.xavier_uniform_(m.depth_projection.weight)
+    m.eval()
+    torch_ref.zero_dropout(m)
+    # non-trivial BN running stats (eval path folds them in)
+    g = torch.Generator().manual_seed(3)
+    for bn in (m.fuser.bn_rgb, m.fuser.bn_depth):
+        bn.running_mean.copy_(torch.randn(HID, generator=g) * 0.3)
+        bn.running_var.copy_(torch.rand(HID, generator=g) + 0.5)
+        with torch.no_grad():
+            bn.weight.copy_(torch.randn(HID, generator=g))
+    return m, args
+
+
+def our_utk_cfg(root):
+    return get_config("utkinects").replace(
+        data=DataConfig(
+            dataset="utkinects", data_root=str(root.parent),
+            seq_buckets=(64, 128), train_obs_percs=(0.2, 0.3),
+            depth_shape=(DEPTH_DIM,), sample_rate=SR,
+            feature_dtype="float32",
+        ),
+        model=ModelConfig(
+            model="futr_fusion_bn", hidden_dim=HID, n_head=4,
+            n_encoder_layers=1, n_decoder_layers=1, n_query=NQ,
+            input_dim=IN_DIM, max_pos_len=128, compute_dtype="float32",
+            seg_excludes_none=False,
+        ),
+        train=TrainConfig(loop="proposed_depth", min_train_batch=0),
+    )
+
+
+@pytest.mark.parametrize("obs_p", [0.2, 0.3])
+def test_utkinects_e2e_moc_parity(utk_disk, tmp_path, obs_p):
+    """Full sweep: reference predict_utkinects.predict on torch-CPU vs our
+    Predictor on the same files + converted weights. MoC table, weighted
+    anticipation acc, and segmentation acc must all agree."""
+    from predict_utkinects import predict as ref_predict
+
+    ref_model, args = make_ref_fusion_model()
+    vid_list = sorted(
+        f for f in os.listdir(utk_disk / "groundTruth") if f.endswith(".txt")
+    )
+
+    buf = io.StringIO()
+    with chdir(utk_disk.parent.parent), redirected_refpaths(tmp_path):
+        with contextlib.redirect_stdout(buf):
+            ref_ant, ref_seg = ref_predict(
+                ref_model, vid_list, args, obs_p, N_CLASS,
+                dict_of_actions(utk_disk), torch.device("cpu"),
+            )
+    ref_moc = parse_moc(buf.getvalue())
+    assert len(ref_moc) == 4
+
+    cfg = our_utk_cfg(utk_disk)
+    source = build_source(cfg.data, "train_split.txt")
+    assert source.n_class == N_CLASS and source.pad_idx == PAD_IDX
+    model = build_model(cfg.model, source.n_class)
+    params, batch_stats = torch_ref.fusion_params(ref_model)
+    variables = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": jax.tree.map(jnp.asarray, batch_stats),
+    }
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    res = predictor.predict(variables, source, obs_p, log=lambda *a: None)
+
+    for (o, p), want in ref_moc.items():
+        got = res[f"obs{o}_pred{p}"]
+        assert abs(got - want) < 5.1e-5, (o, p, got, want)
+    np.testing.assert_allclose(res["ant_acc"], ref_ant, atol=1e-6)
+    np.testing.assert_allclose(res["seg_acc"], ref_seg, atol=1e-6)
+
+
+def dict_of_actions(root):
+    d = {}
+    for line in (root / "mapping_l2_changed.txt").read_text().splitlines():
+        i, name = line.split()
+        d[name] = int(i)
+    return d
+
+
+ANT_RE = re.compile(r"ant Acc:\s+([\d.eE+-]+)")
+
+
+def read_mapping(path):
+    d = {}
+    for line in path.read_text().splitlines():
+        i, name = line.split()
+        d[name] = int(i)
+    return d
+
+
+# --------------------------------------------------------------------------
+# breakfast proposed: futr_proposed + evaluation/predict_breakfast.py sweep
+# (the as-wired futr_baseline import crashes on the query kwarg — COMPAT
+# breakfast_proposed note; the query-consuming sibling is the live model)
+# --------------------------------------------------------------------------
+
+BF_FINE = [f"act{i}" for i in range(6)]
+BF_L2 = ["coffee", "tea", "milk"]
+
+
+@pytest.fixture(scope="module")
+def breakfast_disk(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e_bf") / "datasets" / "breakfast"
+    rng = np.random.RandomState(13)
+    for d in ["features", "groundTruth", "splits"]:
+        os.makedirs(root / d, exist_ok=True)
+    (root / "mapping.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(BF_FINE))
+    )
+    (root / "mapping_l2.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(BF_L2))
+    )
+    vids = []
+    for v in range(5):
+        L = int(rng.randint(40, 80))
+        fine = []
+        while len(fine) < L:
+            fine.extend([BF_FINE[rng.randint(len(BF_FINE))]] * rng.randint(4, 11))
+        fine = fine[:L]
+        l2 = BF_L2[v % len(BF_L2)]
+        name = f"P{v:02d}_cam01_{l2}"
+        # features stored TRANSPOSED [C, S] (predict_breakfast.py:210 .transpose())
+        np.save(root / "features" / f"{name}.npy",
+                rng.randn(IN_DIM, L).astype(np.float32))
+        (root / "groundTruth" / f"{name}.txt").write_text(
+            "".join(x + "\n" for x in fine)
+        )
+        vids.append(f"{name}.txt")
+    (root / "splits" / "train.split1.bundle").write_text("\n".join(vids) + "\n")
+    return root
+
+
+@pytest.mark.parametrize("obs_p", [0.3])
+def test_breakfast_e2e_moc_parity(breakfast_disk, tmp_path, obs_p):
+    """predict_breakfast.predict (incl. its LIVE 0/1 query re-encoding,
+    COMPAT #27) vs our Predictor with query_mod2."""
+    import dataclasses
+
+    from predict_breakfast import predict as ref_predict
+    from model.futr_proposed import FUTR as RefProposed
+
+    actions_dict = read_mapping(breakfast_disk / "mapping_l2.txt")
+    query_dict = read_mapping(breakfast_disk / "mapping.txt")
+    n_class = len(actions_dict) + 1
+    pad_idx = n_class - 1  # main_proposed.py:89
+    query_num = len(query_dict) + 1  # COMPAT #26 pad slot
+
+    args = torch_ref.RefArgs(input_dim=IN_DIM, max_pos_len=128,
+                             sample_rate=SR, dataset="breakfast")
+    torch.manual_seed(21)
+    ref_model = RefProposed(
+        n_class, HID, pad_idx, torch.device("cpu"), args, n_query=NQ,
+        n_head=4, num_encoder_layers=1, num_decoder_layers=1,
+        query_num=query_num,
+    )
+    ref_model.eval()
+    torch_ref.zero_dropout(ref_model)
+
+    vid_list = sorted(
+        f for f in os.listdir(breakfast_disk / "groundTruth")
+        if f.endswith(".txt")
+    )
+    buf = io.StringIO()
+    with chdir(breakfast_disk.parent.parent), redirected_refpaths(tmp_path):
+        with contextlib.redirect_stdout(buf):
+            ref_predict(ref_model, vid_list, args, obs_p, n_class,
+                        actions_dict, torch.device("cpu"), query_dict)
+    ref_moc = parse_moc(buf.getvalue())
+    assert len(ref_moc) == 4
+    ref_ant = float(ANT_RE.search(buf.getvalue()).group(1))
+
+    base = get_config("breakfast_proposed")
+    cfg = base.replace(
+        data=dataclasses.replace(
+            base.data, data_root=str(breakfast_disk.parent),
+            seq_buckets=(64, 128), sample_rate=SR, feature_dtype="float32",
+            train_obs_percs=(obs_p,),
+        ),
+        model=ModelConfig(
+            model="futr_proposed", hidden_dim=HID, n_head=4,
+            n_encoder_layers=1, n_decoder_layers=1, n_query=NQ,
+            input_dim=IN_DIM, max_pos_len=128, compute_dtype="float32",
+            query_num=query_num, seg_excludes_none=True,
+        ),
+        train=TrainConfig(loop="futr", min_train_batch=0),
+    )
+    source = build_source(cfg.data, "train.split1.bundle")
+    assert source.n_class == n_class
+    model = build_model(cfg.model, source.n_class)
+    xj = jnp.zeros((1, 8, IN_DIM), jnp.float32)
+    qj = jnp.zeros((1, 8), jnp.int32)
+    init = model.init(jax.random.PRNGKey(0), xj, qj, train=False)["params"]
+    conv = jax.tree.map(jnp.asarray, torch_ref.proposed_params(ref_model))
+    variables = {"params": {**dict(init), **conv}}
+
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    res = predictor.predict(variables, source, obs_p, log=lambda *a: None)
+
+    for (o, p), want in ref_moc.items():
+        got = res[f"obs{o}_pred{p}"]
+        assert abs(got - want) < 5.1e-5, (o, p, got, want)
+    np.testing.assert_allclose(res["ant_acc"], ref_ant, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# 50salads proposed: futr_proposed + evaluation/predict_50salads.py sweep
+# (L2 gt -> L1 targets via the hard-coded action_mapping; raw-id queries)
+# --------------------------------------------------------------------------
+
+SAL_FINE = [
+    "cut_tomato_prep", "cut_tomato_core", "place_tomato_into_bowl_prep",
+    "add_oil_prep", "mix_dressing_core", "serve_salad_onto_plate_core",
+    "add_dressing_prep",
+]
+SAL_L1 = ["cut_and_mix_ingredients", "prepare_dressing", "serve_salad"]
+
+
+@pytest.fixture(scope="module")
+def salads_disk(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e_sal") / "datasets" / "50salads"
+    rng = np.random.RandomState(29)
+    for d in ["features", "groundTruth", "splits"]:
+        os.makedirs(root / d, exist_ok=True)
+    (root / "mapping_l1.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(SAL_L1))
+    )
+    (root / "mapping_l2.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(SAL_FINE))
+    )
+    vids = []
+    for v in range(4):
+        L = int(rng.randint(50, 90))
+        fine = []
+        while len(fine) < L:
+            fine.extend(
+                [SAL_FINE[rng.randint(len(SAL_FINE))]] * rng.randint(5, 12)
+            )
+        fine = fine[:L]
+        name = f"rgb-{v:02d}-1"
+        np.save(root / "features" / f"{name}.npy",
+                rng.randn(IN_DIM, L).astype(np.float32))
+        (root / "groundTruth" / f"{name}.txt").write_text(
+            "".join(x + "\n" for x in fine)
+        )
+        vids.append(f"{name}.txt")
+    (root / "splits" / "train.split1.bundle").write_text("\n".join(vids) + "\n")
+    return root
+
+
+@pytest.mark.parametrize("obs_p", [0.2])
+def test_50salads_e2e_moc_parity(salads_disk, tmp_path, obs_p):
+    import dataclasses
+
+    from predict_50salads import predict as ref_predict
+    from model.futr_proposed import FUTR as RefProposed
+
+    actions_dict = read_mapping(salads_disk / "mapping_l1.txt")
+    query_dict = read_mapping(salads_disk / "mapping_l2.txt")
+    n_class = len(actions_dict) + 1
+    pad_idx = n_class - 1
+    query_num = len(query_dict) + 1
+
+    args = torch_ref.RefArgs(input_dim=IN_DIM, max_pos_len=128,
+                             sample_rate=SR, dataset="50salads")
+    torch.manual_seed(31)
+    ref_model = RefProposed(
+        n_class, HID, pad_idx, torch.device("cpu"), args, n_query=NQ,
+        n_head=4, num_encoder_layers=1, num_decoder_layers=1,
+        query_num=query_num,
+    )
+    ref_model.eval()
+    torch_ref.zero_dropout(ref_model)
+
+    vid_list = sorted(
+        f for f in os.listdir(salads_disk / "groundTruth")
+        if f.endswith(".txt")
+    )
+    buf = io.StringIO()
+    with chdir(salads_disk.parent.parent), redirected_refpaths(tmp_path):
+        with contextlib.redirect_stdout(buf):
+            ref_predict(ref_model, vid_list, args, obs_p, n_class,
+                        actions_dict, torch.device("cpu"), query_dict)
+    ref_moc = parse_moc(buf.getvalue())
+    assert len(ref_moc) == 4
+    ref_ant = float(ANT_RE.search(buf.getvalue()).group(1))
+
+    base = get_config("50salads_proposed")
+    cfg = base.replace(
+        data=dataclasses.replace(
+            base.data, data_root=str(salads_disk.parent),
+            seq_buckets=(64, 128), sample_rate=SR, feature_dtype="float32",
+            train_obs_percs=(obs_p,),
+        ),
+        model=ModelConfig(
+            model="futr_proposed", hidden_dim=HID, n_head=4,
+            n_encoder_layers=1, n_decoder_layers=1, n_query=NQ,
+            input_dim=IN_DIM, max_pos_len=128, compute_dtype="float32",
+            query_num=query_num, seg_excludes_none=True,
+        ),
+        train=TrainConfig(loop="futr", min_train_batch=0),
+    )
+    source = build_source(cfg.data, "train.split1.bundle")
+    assert source.n_class == n_class
+    model = build_model(cfg.model, source.n_class)
+    xj = jnp.zeros((1, 8, IN_DIM), jnp.float32)
+    qj = jnp.zeros((1, 8), jnp.int32)
+    init = model.init(jax.random.PRNGKey(0), xj, qj, train=False)["params"]
+    conv = jax.tree.map(jnp.asarray, torch_ref.proposed_params(ref_model))
+    variables = {"params": {**dict(init), **conv}}
+
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    res = predictor.predict(variables, source, obs_p, log=lambda *a: None)
+
+    for (o, p), want in ref_moc.items():
+        got = res[f"obs{o}_pred{p}"]
+        assert abs(got - want) < 5.1e-5, (o, p, got, want)
+    np.testing.assert_allclose(res["ant_acc"], ref_ant, atol=1e-6)

@@ -14,6 +14,43 @@ from r3d_tpu.train.checkpoint import Checkpointer
 from r3d_tpu.train.loop import Trainer
 
 
+def test_drain_survives_racing_cancel():
+    """A client cancelling between _drain's batch grouping and the
+    set_result must not raise out of the drain thread (which would hang
+    every later submit) — the set itself is guarded (advisor round-2 #2)."""
+    from concurrent.futures import Future
+
+    from r3d_tpu.serving import ServingQueue
+
+    class StubSession:
+        max_batch = 4
+
+        def anticipate_batch(self, videos, future_len=None):
+            return [{"ok": i} for i in range(len(videos))]
+
+    q = ServingQueue.__new__(ServingQueue)  # no drain thread needed
+    q.session = StubSession()
+
+    f_cancelled, f_live = Future(), Future()
+    f_cancelled.cancel()
+    video = {"features": np.zeros((4, 2), np.float32)}
+    q._drain([(video, None, f_cancelled), (video, None, f_live)])
+    assert f_live.result(timeout=1) == {"ok": 1}
+    assert f_cancelled.cancelled()
+
+    # same race on the exception path
+    class FailingSession(StubSession):
+        def anticipate_batch(self, videos, future_len=None):
+            raise ValueError("boom")
+
+    q.session = FailingSession()
+    f_cancelled2, f_live2 = Future(), Future()
+    f_cancelled2.cancel()
+    q._drain([(video, None, f_cancelled2), (video, None, f_live2)])
+    with pytest.raises(ValueError):
+        f_live2.result(timeout=1)
+
+
 def test_session_from_checkpoint(disk_dataset, tmp_path):  # noqa: F811
     cfg = get_config("utkinects").replace(
         data=make_cfg(disk_dataset),

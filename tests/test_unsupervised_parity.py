@@ -165,3 +165,127 @@ def test_temp3_is_default_minus_supcon():
     assert "supcon" in out_base and "supcon" not in out_t3
     for k in ("action", "duration", "seg", "l3"):
         np.testing.assert_array_equal(np.array(out_base[k]), np.array(out_t3[k]))
+
+def test_futr_proposed_full_parity_eval():
+    """futr_proposed (gt L3 queries): the decoder runs on ALL S queries and
+    the OUTPUT adaptive-avg-pools to n_query (futr_proposed.py:101-124);
+    action/duration/seg must match the reference on copied weights — both on
+    an unpadded batch and on a padded bucket batch with per-row lengths."""
+    from model.futr_proposed import FUTR as RefProposed
+
+    cfg = ModelConfig(
+        model="futr_proposed", hidden_dim=32, n_head=4,
+        n_encoder_layers=1, n_decoder_layers=1, n_query=8, input_dim=16,
+        max_pos_len=64, compute_dtype="float32", query_num=QUERY_NUM,
+        dropout=0.0, seg_excludes_none=True,
+    )
+    args = torch_ref.RefArgs(input_dim=16, max_pos_len=64)
+    torch.manual_seed(0)
+    ref = RefProposed(
+        N_CLASS, 32, PAD_IDX, torch.device("cpu"), args, n_query=8, n_head=4,
+        num_encoder_layers=1, num_decoder_layers=1, query_num=QUERY_NUM,
+    )
+    ref.eval()
+    torch_ref.zero_dropout(ref)
+
+    rng = np.random.RandomState(3)
+    B, S = 3, 20
+    x = rng.randn(B, S, 16).astype(np.float32)
+    q = rng.randint(0, QUERY_NUM - 1, size=(B, S))
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x), torch.tensor(q), mode="test")
+
+    ours = FUTRUnsupervised(cfg, N_CLASS, query_source="gt")
+    xj, qj = jnp.array(x), jnp.array(q)
+    init = ours.init(jax.random.PRNGKey(0), xj, qj, train=False)["params"]
+    conv = jax.tree.map(jnp.asarray, torch_ref.proposed_params(ref))
+    params = {**dict(init), **conv}
+
+    out = ours.apply({"params": params}, xj, qj, train=False)
+    for k in ("action", "duration", "seg"):
+        np.testing.assert_allclose(
+            np.array(out[k]), ref_out[k].numpy(), atol=3e-4, err_msg=k
+        )
+
+    # padded bucket batch: per-row masked decode + length-aware output pool
+    # must equal the reference's unpadded per-video forwards
+    lens = [20, 14, 9]
+    Sp = 24
+    xp = np.zeros((B, Sp, 16), np.float32)
+    qp = np.zeros((B, Sp), np.int64)
+    mask = np.ones((B, Sp), bool)
+    for i, l in enumerate(lens):
+        xp[i, :l] = x[i, :l]
+        qp[i, :l] = q[i, :l]
+        mask[i, :l] = False
+    outp = ours.apply(
+        {"params": params}, jnp.array(xp), jnp.array(qp), jnp.array(mask),
+        train=False,
+    )
+    for i, l in enumerate(lens):
+        with torch.no_grad():
+            ref_i = ref(
+                torch.tensor(x[i : i + 1, :l]), torch.tensor(q[i : i + 1, :l]),
+                mode="test",
+            )
+        np.testing.assert_allclose(
+            np.array(outp["action"][i]), ref_i["action"][0].numpy(),
+            atol=3e-4, err_msg=f"action row {i}",
+        )
+        np.testing.assert_allclose(
+            np.array(outp["duration"][i]), ref_i["duration"][0].numpy(),
+            atol=3e-4, err_msg=f"duration row {i}",
+        )
+        np.testing.assert_allclose(
+            np.array(outp["seg"][i, :l]), ref_i["seg"][0].numpy(),
+            atol=3e-4, err_msg=f"seg row {i}",
+        )
+
+
+def test_futr_unsupervised_depth_full_parity_eval():
+    """futr_unsupervised_depth (depth-projected queries): sinusoidal PE on
+    src AND queries, decoder on all S queries, post-decoder pooling
+    (futr_unsupervised_depth.py:99-135) — full output parity on copied
+    weights (VERDICT r2 missing #5)."""
+    from model.futr_unsupervised_depth import FUTR as RefDepth
+
+    H, W = 8, 6
+    cfg = ModelConfig(
+        model="futr_unsupervised_depth", hidden_dim=32, n_head=4,
+        n_encoder_layers=1, n_decoder_layers=1, n_query=8, input_dim=16,
+        max_pos_len=64, compute_dtype="float32", query_num=QUERY_NUM,
+        dropout=0.0, seg_excludes_none=False,
+    )
+    args = torch_ref.RefArgs(input_dim=16, max_pos_len=64)
+    torch.manual_seed(1)
+    ref = RefDepth(
+        N_CLASS, 32, PAD_IDX, torch.device("cpu"), args, n_query=8, n_head=4,
+        num_encoder_layers=1, num_decoder_layers=1, query_num=QUERY_NUM,
+    )
+    ref.depth_projection = torch.nn.Linear(H * W, 32)
+    torch.nn.init.xavier_uniform_(ref.depth_projection.weight)
+    ref.eval()
+    torch_ref.zero_dropout(ref)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    ref.pos_enc.dropout.p = 0.0
+    ref.pos_enc_depth.dropout.p = 0.0
+
+    rng = np.random.RandomState(5)
+    B, S = 2, 18
+    x = rng.randn(B, S, 16).astype(np.float32)
+    depth = rng.randn(B, S, H, W).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(x), torch.tensor(depth), mode="test")
+
+    ours = FUTRUnsupervised(cfg, N_CLASS, query_source="depth")
+    xj, dj = jnp.array(x), jnp.array(depth)
+    init = ours.init(jax.random.PRNGKey(0), xj, dj, train=False)["params"]
+    conv = jax.tree.map(jnp.asarray, torch_ref.proposed_params(ref))
+    params = {**dict(init), **conv}
+    out = ours.apply({"params": params}, xj, dj, train=False)
+    for k in ("action", "duration", "seg"):
+        np.testing.assert_allclose(
+            np.array(out[k]), ref_out[k].numpy(), atol=3e-4, err_msg=k
+        )

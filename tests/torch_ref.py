@@ -189,6 +189,30 @@ def fusion_params(t_model, use_encoder=False):
     return p, batch_stats
 
 
+def proposed_params(t_model, use_encoder=False):
+    """Reference model/futr_proposed.py or futr_unsupervised_depth.py ->
+    our FUTRUnsupervised(query_source='gt'/'depth') tree.  The caller merges
+    this over its init params (our model carries an fc_l3 head the
+    futr_proposed reference lacks; its output isn't compared)."""
+    p = {"embed": {}, "heads": {}}
+    linear(p["embed"], "input_embed", t_model.input_embed)
+    p["pos_embedding"] = t2n(t_model.pos_embedding)
+    p["transformer"] = transformer_params(t_model.transformer, use_encoder)
+    linear(p["heads"], "fc", t_model.fc)
+    linear(p["heads"], "fc_len", t_model.fc_len)
+    linear(p["heads"], "fc_seg", t_model.fc_seg)
+    if hasattr(t_model, "query_embed"):
+        p["query_embed"] = {"embedding": t2n(t_model.query_embed.weight)}
+    if hasattr(t_model, "depth_projection"):
+        de = {}
+        linear(de, "depth_projection", t_model.depth_projection)
+        layernorm(de, "depth_layernorm", t_model.depth_layernorm)
+        p["depth_embed"] = de
+    if hasattr(t_model, "fc_l3"):
+        linear(p, "fc_l3", t_model.fc_l3)
+    return p
+
+
 def futr_params_common(t_model, use_encoder=False):
     p = {"embed": {}, "heads": {}}
     linear(p["embed"], "input_embed", t_model.input_embed)
