@@ -74,7 +74,9 @@ class MultiheadAttention(nn.Module):
         bias = attention_bias_from_padding(key_padding_mask, jnp.float32)
 
         from r3d_tpu.ops.attention import (
+            attention_dropout_kernel_eligible,
             attention_kernel_eligible,
+            flash_attention_dropout_sharded,
             flash_attention_sharded,
         )
 
@@ -86,6 +88,29 @@ class MultiheadAttention(nn.Module):
             out = flash_attention_sharded(
                 jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2),
                 jnp.swapaxes(vh, 1, 2), bias, 1.0 / math.sqrt(D),
+            )
+            out = jnp.swapaxes(out, 1, 2).reshape(B, Lq, C)
+            return dense("out_proj")(out)
+
+        if (
+            attn_bias is None
+            and not deterministic
+            and self.dropout > 0.0
+            and not self.sow_weights
+            and attention_dropout_kernel_eligible(Lq, Lk, D)
+        ):
+            # TRAIN path: attention-weight dropout runs inside the kernel
+            # (regenerable TPU-PRNG keep-mask; the backward kernel redraws
+            # the same bits) — without this the composed path round-trips
+            # the [Lq, Lk] score matrix through HBM on every train step
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32,
+            )
+            out = flash_attention_dropout_sharded(
+                jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2),
+                jnp.swapaxes(vh, 1, 2), bias, seed,
+                1.0 / math.sqrt(D), self.dropout,
             )
             out = jnp.swapaxes(out, 1, 2).reshape(B, Lq, C)
             return dense("out_proj")(out)

@@ -213,6 +213,88 @@ def proposed_params(t_model, use_encoder=False):
     return p
 
 
+def lstm_params(t_lstm):
+    """torch nn.LSTM (bidirectional, num_layers) -> our LSTMStack tree.
+    Cell order: layer-major, fwd before bwd (LSTMStack builds them in that
+    order, so flax auto-names them OptimizedLSTMCell_{2*layer+dir})."""
+    out = {}
+    for layer in range(t_lstm.num_layers):
+        for d, suffix in ((0, ""), (1, "_reverse")):
+            w_ih = t2n(getattr(t_lstm, f"weight_ih_l{layer}{suffix}"))
+            w_hh = t2n(getattr(t_lstm, f"weight_hh_l{layer}{suffix}"))
+            b = t2n(getattr(t_lstm, f"bias_ih_l{layer}{suffix}")) + t2n(
+                getattr(t_lstm, f"bias_hh_l{layer}{suffix}")
+            )
+            h = w_hh.shape[1]
+            cell = {}
+            # torch gate order i, f, g, o (chunks of h rows); flax keeps one
+            # bias per gate on the hidden dense -> bias_ih + bias_hh
+            for gi, gate in enumerate(("i", "f", "g", "o")):
+                rows = slice(gi * h, (gi + 1) * h)
+                cell[f"i{gate}"] = {"kernel": w_ih[rows].T}
+                cell[f"h{gate}"] = {"kernel": w_hh[rows].T, "bias": b[rows]}
+            out[f"OptimizedLSTMCell_{2 * layer + d}"] = cell
+    return out
+
+
+def rnn_baseline_params(t_model):
+    """Reference model/rnn.py FUTR -> our RNNAnticipator tree."""
+    p = {"embed": {}}
+    linear(p["embed"], "input_embed", t_model.input_embed)
+    p["rnn"] = lstm_params(t_model.rnn)
+    linear(p, "rnn_fc", t_model.rnn_fc)
+    linear(p, "fc", t_model.fc)
+    linear(p, "fc_len", t_model.fc_len)
+    linear(p, "fc_seg", t_model.fc_seg)
+    return p
+
+
+def cnn_baseline_params(t_model):
+    """Reference model/cnn.py FUTR -> our CNNAnticipator tree."""
+    p = {"embed": {}}
+    linear(p["embed"], "input_embed", t_model.input_embed)
+    linear(p, "fc", t_model.fc)
+    linear(p, "fc_len", t_model.fc_len)
+    linear(p, "fc_seg", t_model.fc_seg)
+    return p
+
+
+def _wn_conv(t_conv):
+    """weight-normed torch Conv1d -> WNCausalConv {v, g, bias}."""
+    import torch as _t
+
+    with _t.no_grad():
+        try:  # new-style parametrization
+            v = t_conv.parametrizations.weight.original1
+            g = t_conv.parametrizations.weight.original0
+        except AttributeError:  # legacy weight_norm
+            v = t_conv.weight_v
+            g = t_conv.weight_g
+    return {
+        "v": t2n(v).transpose(2, 1, 0),       # [out, in, k] -> [k, in, out]
+        "g": t2n(g).reshape(-1),
+        "bias": t2n(t_conv.bias),
+    }
+
+
+def tcn_baseline_params(t_model):
+    """Reference model/tcn.py MustafaNet1DTCN -> our TCNAnticipator tree."""
+    p = {}
+    for i, block in enumerate(t_model.tcn_local.network):
+        p[f"block{i}_conv1"] = _wn_conv(block.conv1)
+        p[f"block{i}_conv2"] = _wn_conv(block.conv2)
+        if block.downsample is not None:
+            p[f"block{i}_down"] = {
+                "kernel": t2n(block.downsample.weight).transpose(2, 1, 0),
+                "bias": t2n(block.downsample.bias),
+            }
+    p["regression"] = {
+        "kernel": t2n(t_model.regression.weight).transpose(2, 1, 0),
+        "bias": t2n(t_model.regression.bias),
+    }
+    return p
+
+
 def futr_params_common(t_model, use_encoder=False):
     p = {"embed": {}, "heads": {}}
     linear(p["embed"], "input_embed", t_model.input_embed)
