@@ -192,6 +192,9 @@ class TrainConfig:
     # Falls back to the host loader when the data doesn't fit (or the loop
     # needs host-side extras, e.g. the unsupervised curriculum's seg_ids).
     device_cache: bool = False
+    # also mirror epoch/step metrics to TensorBoard event files (native
+    # writer, utils/tbwriter.py — no tensorflow dependency); JSONL always on
+    tensorboard: bool = False
 
 
 @dataclass(frozen=True)

@@ -51,3 +51,25 @@ def decode_anticipation(
     idx = np.searchsorted(bounds[1:], t, side="right")
     idx = np.clip(idx, 0, Q - 1)
     return actions[idx], norm_dur
+
+
+def decode_frames_from_slots(
+    action_logits: np.ndarray,   # [Q, n_class] per-slot future-frame logits
+    future_len: int,
+) -> np.ndarray:
+    """Duration-less decode for slot-regression models (the TCN emits
+    ``anticipated_frames`` per-slot class logits, model/tcn.py:80-84, with
+    no duration head): slot q paints frames [q*T/Q, (q+1)*T/Q).
+
+    The reference's own TCN paint loop is unrunnable as committed
+    (evaluation/predict_tcn.py:97-100 fills from ``torch.ones`` and never
+    reads the model output; its accuracy() calls ``.replace`` on tensor
+    elements — COMPAT #29), so this implements the evident per-slot intent
+    (each slot aligns with one subsampled future frame, predict_tcn.py:87).
+    """
+    classes = np.argmax(action_logits, axis=-1)
+    if future_len <= 0:
+        return np.zeros((0,), dtype=np.int64)
+    Q = classes.shape[0]
+    idx = (np.arange(future_len) * Q) // future_len
+    return classes[np.minimum(idx, Q - 1)].astype(np.int64)

@@ -80,11 +80,21 @@ def weighted_anticipation_accuracy(
 
 class Predictor:
     def __init__(self, config: Config, model, n_class: int,
-                 eval_batch: int = 8):
+                 eval_batch: int = 8, mesh=None):
         self.config = config
         self.model = model
         self.n_class = n_class
         self.eval_batch = eval_batch
+        # mesh: shard the sweep's padded batches over the dp axis (the
+        # reference DataParallel's inference counterpart, main.py:115);
+        # results are sharding-invariant (tests/test_sharding.py)
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape.get("dp", 1)
+            self.eval_batch = -(-eval_batch // dp) * dp
+            from r3d_tpu.parallel.mesh import set_active_mesh
+
+            set_active_mesh(mesh)  # row-parallel Pallas ops shard_map on dp
         # query-conditioned family (reference predict_with_query/predict.py:74:
         # model(inputs, query, mode='test'))
         self.needs_query = config.model.model in (
@@ -201,6 +211,11 @@ class Predictor:
         elif self.needs_query:
             args.append(jnp.asarray(query) if query is not None else None)
         args.append(jnp.asarray(mask))
+        if self.mesh is not None:
+            from r3d_tpu.parallel.mesh import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            args = [None if a is None else jax.device_put(a, sh) for a in args]
         if isinstance(variables, (list, tuple)):
             # seed-ensemble: average the output heads (logits/durations)
             # across checkpoints — an extension over the reference, which
@@ -224,6 +239,12 @@ class Predictor:
         for i, it in enumerate(items):
             vid[i] = it["ui"]
             real_s[i] = it["real_s"]
+        if self.mesh is not None:
+            from r3d_tpu.parallel.mesh import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            vid = jax.device_put(jnp.asarray(vid), sh)
+            real_s = jax.device_put(jnp.asarray(real_s), sh)
         if isinstance(variables, (list, tuple)):
             outs = [
                 self._cached_forward(v, data, vid, real_s, S)
@@ -250,11 +271,16 @@ class Predictor:
         labels_idx = it["labels_idx"]
         past_len, future_len = it["past_len"], it["future_len"]
         action_logits = outputs["action"][i]
-        durations = outputs["duration"][i]
 
-        frames, _ = decode_anticipation(
-            action_logits, durations, future_len, none_idx
-        )
+        if "duration" in outputs:
+            frames, _ = decode_anticipation(
+                action_logits, outputs["duration"][i], future_len, none_idx
+            )
+        else:
+            # duration-less slot-regression models (TCN): per-slot paint
+            from r3d_tpu.eval.decode import decode_frames_from_slots
+
+            frames = decode_frames_from_slots(action_logits, future_len)
         prediction = np.concatenate([labels_idx[:past_len], frames])
         acc.add_video(labels_idx, prediction, obs_p)
 
@@ -355,6 +381,20 @@ class Predictor:
         (the reference runs a fresh pass per ratio,
         main_utkinects.py:138-165)."""
         cfg = self.config
+        if self.mesh is not None:
+            from r3d_tpu.parallel.mesh import replicated_sharding
+
+            rep = replicated_sharding(self.mesh)
+
+            def rput(tree):
+                return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+            variables = (
+                [rput(v) for v in variables]
+                if isinstance(variables, (list, tuple)) else rput(variables)
+            )
+            if cache_data is not None:
+                cache_data = rput(cache_data)
         groups: Dict[int, List[Dict]] = collections.defaultdict(list)
         for obs_p in obs_list:
             for S, items in self._prepare(source, obs_p).items():
