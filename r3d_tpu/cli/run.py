@@ -73,7 +73,8 @@ def train(config: Config, seed: int, dataset_ops: str = "",
         log(f"resumed seed {seed} at step {int(state.step)} (epoch {start_epoch})")
     from r3d_tpu.utils.metrics import MetricsLogger
 
-    metrics = MetricsLogger(path, run_name=f"seed_{seed}_metrics")
+    metrics = MetricsLogger(path, run_name=f"seed_{seed}_metrics",
+                            tensorboard=config.train.tensorboard)
     cache = None
     if config.train.device_cache and not config.data.raw_frames:
         from r3d_tpu.data.device_cache import cache_from_source
@@ -123,7 +124,14 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
         source = build_source(config.data, val_name)
     seeds = seeds if seeds is not None else config.train.seeds
     model = build_model(config.model, source.n_class)
-    predictor = Predictor(config, model, source.n_class)
+    mesh = None
+    if len(jax.devices()) > 1:
+        # shard the MoC sweep over the data axis (the reference
+        # DataParallel's inference counterpart, main.py:115)
+        from r3d_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(config.mesh.dp, config.mesh.tp)
+    predictor = Predictor(config, model, source.n_class, mesh=mesh)
 
     cache_data = None
     if config.train.device_cache and not config.data.raw_frames:
