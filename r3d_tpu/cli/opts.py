@@ -50,6 +50,9 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
     p.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="device-side step batching: one dispatch scans this "
                         "many train steps (Trainer.make_multi_step)")
+    p.add_argument("--tensorboard", action="store_true", default=None,
+                   help="mirror metrics to TensorBoard event files "
+                        "(native writer; JSONL always on)")
     p.add_argument("--device_cache", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="land the train set in HBM once and assemble batches "
@@ -114,6 +117,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         ("weight_decay", "weight_decay"),
         ("steps_per_dispatch", "steps_per_dispatch"),
         ("device_cache", "device_cache"),
+        ("tensorboard", "tensorboard"),
     ]:
         v = getattr(args, arg)
         if v is not None:

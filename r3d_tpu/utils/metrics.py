@@ -21,12 +21,11 @@ class MetricsLogger:
         self._f = open(self.path, "a")
         self._tb = None
         if tensorboard:
-            try:  # gated: tensorboardX/flax.metrics not guaranteed in image
-                from flax.metrics import tensorboard as tb
+            # native tfevents writer (utils/tbwriter.py) — no tensorflow/
+            # tensorboardX dependency, TensorBoard reads the files directly
+            from r3d_tpu.utils.tbwriter import SummaryWriter
 
-                self._tb = tb.SummaryWriter(os.path.join(log_dir, "tb", run_name))
-            except Exception:
-                self._tb = None
+            self._tb = SummaryWriter(os.path.join(log_dir, "tb", run_name))
 
     def log(self, record: Dict[str, Any], step: Optional[int] = None) -> None:
         rec = {"time": time.time(), **record}

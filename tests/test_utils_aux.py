@@ -147,3 +147,33 @@ def test_resume_from_last(tmp_path):
     template = trainer.init_state(jax.random.PRNGKey(9), batch, steps_per_epoch=1)
     restored = ckpt.restore_last(1, template)
     assert int(restored.step) == int(state.step) and int(restored.step) > 0
+
+
+def test_tbwriter_roundtrip(tmp_path):
+    """Native tfevents writer (SURVEY §5.5): frames + protos parse back with
+    valid CRCs, and MetricsLogger mirrors numeric records into it."""
+    import glob
+
+    from r3d_tpu.utils.metrics import MetricsLogger
+    from r3d_tpu.utils.tbwriter import SummaryWriter, read_events
+
+    d = str(tmp_path / "tb")
+    w = SummaryWriter(d)
+    w.scalar("loss", 1.5, step=0)
+    w.scalar("loss", 0.75, step=1)
+    w.scalar("val_acc", 0.25, step=1)
+    w.close()
+    (path,) = glob.glob(d + "/events.out.tfevents.*")
+    events = list(read_events(path))
+    assert events[0]["file_version"] == "brain.Event:2"
+    scalars = [(e["step"], e["scalars"]) for e in events[1:]]
+    assert scalars == [(0, {"loss": 1.5}), (1, {"loss": 0.75}),
+                       (1, {"val_acc": 0.25})]
+
+    m = MetricsLogger(str(tmp_path / "runs"), run_name="r", tensorboard=True)
+    m.log({"loss": 2.0, "note": "text ignored"}, step=3)
+    m.close()
+    (path2,) = glob.glob(str(tmp_path / "runs" / "tb" / "r" /
+                             "events.out.tfevents.*"))
+    evs = list(read_events(path2))
+    assert evs[-1]["scalars"] == {"loss": 2.0} and evs[-1]["step"] == 3
