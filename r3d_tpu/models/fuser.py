@@ -65,6 +65,13 @@ class TorchBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((C,)))
 
         if train:
+            # Plain two-reduction statistics. A single-pass shifted-E[x^2]
+            # form was built and A/B-measured (tools/measure_r3.py, v5e,
+            # interleaved): 0.95x at B=8 / 1.00x at B=64 — XLA already
+            # fuses the mean and centered-variance reductions into one pass
+            # over the stream, so the "saved read" did not exist and the
+            # extra shift was pure overhead. Keeping the numerically
+            # simplest form (ROADMAP round-3 measurements).
             n = x.shape[0] * x.shape[1]
             mean = jnp.mean(x.astype(jnp.float32), axis=(0, 1))
             var = jnp.mean(

@@ -137,3 +137,134 @@ def test_mha_module_kernel_path_matches():
     np.testing.assert_allclose(
         np.array(out_kernel), np.array(out_composed), atol=2e-5
     )
+
+
+def test_cross_attention_matches_composed():
+    """Decoder cross-attention shape (tiny Lq vs long keys): the kernel
+    tiles q adaptively and must match composed — values and grads."""
+    rng = np.random.RandomState(7)
+    B, H, Lq, Lk, D = 2, 4, 20, 312, 32
+    q = jnp.array(rng.randn(B, H, Lq, D).astype(np.float32))
+    k = jnp.array(rng.randn(B, H, Lk, D).astype(np.float32))
+    v = jnp.array(rng.randn(B, H, Lk, D).astype(np.float32))
+    pad = np.zeros((B, Lk), bool)
+    pad[0, 250:] = True
+    bias = jnp.where(jnp.array(pad), jnp.finfo(jnp.float32).min, 0.0)[
+        :, None, None, :
+    ]
+    ref = composed_attention(q, k, v, bias, 0.18)
+    out = flash_attention(q, k, v, bias, 0.18)
+    np.testing.assert_allclose(np.array(out), np.array(ref), atol=2e-5)
+
+    g_ref = jax.grad(
+        lambda a, b, c: jnp.sum(composed_attention(a, b, c, bias, 0.18) ** 2)
+    )(q, k, v)
+    g_out = jax.grad(
+        lambda a, b, c: jnp.sum(flash_attention(a, b, c, bias, 0.18) ** 2)
+    )(q, k, v)
+    np.testing.assert_allclose(np.array(g_out), np.array(g_ref), atol=2e-4)
+
+    from r3d_tpu.ops.attention import attention_kernel_eligible
+
+    assert attention_kernel_eligible(20, 3100, 64) or not os.environ.get(
+        "R3D_FORCE_PALLAS"
+    )
+
+
+def test_dropout_kernel_rate0_matches_composed():
+    """flash_attention_dropout(rate=0) takes the PRNG-free path and must
+    equal composed — values and gradients (this is also the Pallas backward
+    used for the train-path measurement)."""
+    from r3d_tpu.ops.attention import flash_attention_dropout
+
+    rng = np.random.RandomState(9)
+    B, H, Lq, Lk, D = 2, 2, 20, 300, 32
+    q = jnp.array(rng.randn(B, H, Lq, D).astype(np.float32))
+    k = jnp.array(rng.randn(B, H, Lk, D).astype(np.float32))
+    v = jnp.array(rng.randn(B, H, Lk, D).astype(np.float32))
+    pad = np.zeros((B, Lk), bool)
+    pad[1, 220:] = True
+    bias = jnp.where(jnp.array(pad), jnp.finfo(jnp.float32).min, 0.0)[
+        :, None, None, :
+    ]
+    out = flash_attention_dropout(q, k, v, bias, 3, 0.2, 0.0)
+    ref = composed_attention(q, k, v, bias, 0.2)
+    np.testing.assert_allclose(np.array(out), np.array(ref), atol=2e-5)
+
+    g_out = jax.grad(
+        lambda a, b, c, bb: jnp.sum(
+            flash_attention_dropout(a, b, c, bb, 3, 0.2, 0.0) ** 2
+        ),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, bias)
+    g_ref = jax.grad(
+        lambda a, b, c, bb: jnp.sum(composed_attention(a, b, c, bb, 0.2) ** 2),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, bias)
+    for a, b, name in zip(g_out, g_ref, "qkvb"):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=3e-4,
+                                   rtol=1e-4, err_msg=name)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel dropout needs the real TPU PRNG")
+def test_dropout_kernel_mask_consistency_tpu():
+    """rate>0 on hardware: (a) deterministic per seed, (b) the realized
+    keep-mask has ~rate dropped entries scaled 1/(1-p), (c) the backward
+    kernel regenerates the SAME mask — grads match autodiff of a composed
+    forward that applies the reconstructed mask."""
+    from r3d_tpu.ops.attention import flash_attention_dropout
+
+    rng = np.random.RandomState(11)
+    B, H, Lq, Sk, D = 1, 2, 64, 128, 128
+    rate, seed, scale = 0.3, 1234, 0.11
+    q = jnp.array(rng.randn(B, H, Lq, D).astype(np.float32))
+    k = jnp.array(rng.randn(B, H, Sk, D).astype(np.float32))
+
+    o1 = flash_attention_dropout(
+        q, k, jnp.array(rng.randn(B, H, Sk, D).astype(np.float32)),
+        None, seed, scale, rate)
+    # v = identity -> output IS the dropped weight matrix WD
+    eye = jnp.broadcast_to(jnp.eye(Sk, dtype=jnp.float32), (B, H, Sk, Sk))
+    wd = np.array(flash_attention_dropout(q, k, eye, None, seed, scale, rate))
+    w = np.array(composed_attention(q, k, eye, None, scale))
+    ratio = wd / np.maximum(w, 1e-30)
+    keep = ratio > 0.5
+    # entries are either dropped (0) or scaled ~1/(1-p); the ~2% band covers
+    # TPU default-precision matmul differences between the kernel's scores
+    # and composed's (bf16-pass fp32 matmuls, different accumulation order)
+    np.testing.assert_allclose(ratio[keep], 1.0 / (1.0 - rate), rtol=2e-2)
+    assert np.all(np.abs(ratio[~keep]) < 2e-2)
+    frac = 1.0 - keep.mean()
+    assert abs(frac - rate) < 0.03, frac
+
+    # determinism + seed sensitivity
+    wd2 = np.array(flash_attention_dropout(q, k, eye, None, seed, scale, rate))
+    np.testing.assert_array_equal(wd, wd2)
+    wd3 = np.array(flash_attention_dropout(q, k, eye, None, seed + 1, scale,
+                                           rate))
+    assert not np.array_equal(wd, wd3)
+
+    # backward regenerates the same mask: compare against autodiff of the
+    # composed forward with the reconstructed mask baked in
+    v = jnp.array(rng.randn(B, H, Sk, D).astype(np.float32))
+    mask = jnp.array(keep.astype(np.float32) / (1.0 - rate))
+
+    def composed_masked(q_, k_, v_):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_, k_) * scale
+        w_ = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", w_ * mask, v_)
+
+    g_k = jax.grad(
+        lambda a, b, c: jnp.sum(
+            flash_attention_dropout(a, b, c, None, seed, scale, rate) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_c = jax.grad(
+        lambda a, b, c: jnp.sum(composed_masked(a, b, c) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b, name in zip(g_k, g_c, "qkv"):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-2,
+                                   rtol=2e-2, err_msg=name)

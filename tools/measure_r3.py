@@ -1,0 +1,156 @@
+"""Round-3 measurement harness — same-process interleaved A/Bs (CLAUDE.md:
+cross-process comparisons drift up to 2x, so both arms build in ONE process
+and interleave their timed windows).
+
+1. BN statistics: single-pass (shifted E[x^2]) vs naive two-pass
+   (R3D_BN_TWO_PASS=1 at trace time) — fusion step at B=8 and B=64.
+2. 50salads train step: attention kernel TRAIN path (in-kernel dropout,
+   decoder cross-attention 20x3100) vs composed attention.
+3. Attention backward at the 50salads self-attention shape (B=64 bf16,
+   VERDICT r2 #9): Pallas bwd kernel vs remat-composed bwd.
+
+Usage: python tools/measure_r3.py [bn|attn|bwd|all]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _time_step(step, state, batch, rng, n_steps=10, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        for i in range(n_steps):
+            state, m = step(state, batch, jax.random.fold_in(rng, i), 0)
+        float(m["loss"])  # value fetch forces the chain (axon)
+        best = min(best, (time.time() - t0) / n_steps)
+    return best, state
+
+
+# measure_bn (removed): the single-pass shifted-E[x^2] BN statistics were
+# A/B-measured on v5e (interleaved): two-pass 5.933 ms vs single-pass
+# 6.243 ms at B=8 (0.95x), 7.551 vs 7.587 ms at B=64 (1.00x) — XLA already
+# fuses the two reductions into one stream pass, so the variant was
+# reverted (models/fuser.py TorchBatchNorm keeps the plain form).
+
+
+def measure_attn_fusion(B=8):
+    """Fusion shape (S=256): does the attention kernel help or hurt the
+    short-sequence train step? (decoder cross 8x256 + dropout kernel)."""
+    import r3d_tpu.ops.attention as attn
+    from tools.measure_r2 import make_fusion
+
+    rng = jax.random.PRNGKey(0)
+    orig_e, orig_de = attn.attention_kernel_eligible, attn.attention_dropout_kernel_eligible
+    attn.attention_kernel_eligible = lambda *a: False
+    attn.attention_dropout_kernel_eligible = lambda *a: False
+    tr_a, st_a, b_a = make_fusion("float32", B, embed_dtype="bfloat16",
+                                  feature_dtype="bfloat16")
+    step_a = tr_a.make_train_step().lower(st_a, b_a, rng, 0).compile()
+    attn.attention_kernel_eligible = orig_e
+    attn.attention_dropout_kernel_eligible = orig_de
+    tr_b, st_b, b_b = make_fusion("float32", B, embed_dtype="bfloat16",
+                                  feature_dtype="bfloat16")
+    step_b = tr_b.make_train_step().lower(st_b, b_b, rng, 0).compile()
+    st_a, m = step_a(st_a, b_a, rng, 0); float(m["loss"])
+    st_b, m = step_b(st_b, b_b, rng, 0); float(m["loss"])
+    best_a = best_b = float("inf")
+    for _ in range(4):
+        s, st_a = _time_step(step_a, st_a, b_a, rng, reps=1)
+        best_a = min(best_a, s)
+        s, st_b = _time_step(step_b, st_b, b_b, rng, reps=1)
+        best_b = min(best_b, s)
+    print(f"fusion B={B} train step: composed-attn {best_a*1e3:.3f} ms  "
+          f"attn-kernel {best_b*1e3:.3f} ms  ({best_a/best_b:.3f}x)")
+    return best_a, best_b
+
+
+def measure_attn_train():
+    import r3d_tpu.ops.attention as attn
+    from tools.measure_r2 import make_futr_50s
+
+    rng = jax.random.PRNGKey(0)
+    # arm A: composed attention (kernel paths patched ineligible at trace)
+    orig_e, orig_de = attn.attention_kernel_eligible, attn.attention_dropout_kernel_eligible
+    attn.attention_kernel_eligible = lambda *a: False
+    attn.attention_dropout_kernel_eligible = lambda *a: False
+    tr_a, st_a, b_a = make_futr_50s("bfloat16", batch_size=8)
+    step_a = tr_a.make_train_step().lower(st_a, b_a, rng, 0).compile()
+    attn.attention_kernel_eligible = orig_e
+    attn.attention_dropout_kernel_eligible = orig_de
+    # arm B: kernel train path (in-kernel dropout cross-attention)
+    tr_b, st_b, b_b = make_futr_50s("bfloat16", batch_size=8)
+    step_b = tr_b.make_train_step().lower(st_b, b_b, rng, 0).compile()
+
+    st_a, m = step_a(st_a, b_a, rng, 0); float(m["loss"])
+    st_b, m = step_b(st_b, b_b, rng, 0); float(m["loss"])
+    best_a = best_b = float("inf")
+    for _ in range(4):
+        s, st_a = _time_step(step_a, st_a, b_a, rng, reps=1)
+        best_a = min(best_a, s)
+        s, st_b = _time_step(step_b, st_b, b_b, rng, reps=1)
+        best_b = min(best_b, s)
+    print(f"50salads train step: composed {best_a*1e3:.3f} ms  "
+          f"attn-kernel {best_b*1e3:.3f} ms  ({best_a/best_b:.3f}x)")
+    return best_a, best_b
+
+
+def measure_attn_bwd():
+    from r3d_tpu.ops.attention import (
+        composed_attention, flash_attention, flash_attention_dropout,
+    )
+
+    B, H, S, D = 64, 8, 3100, 64
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+
+    def make_grad(fn):
+        return jax.jit(jax.grad(
+            lambda a, b, c: jnp.sum(fn(a, b, c).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2),
+        ))
+
+    arms = {
+        "remat-composed bwd": make_grad(
+            lambda a, b, c: flash_attention(a, b, c, None, 0.125)),
+        "pallas bwd": make_grad(
+            lambda a, b, c: flash_attention_dropout(a, b, c, None, 3, 0.125,
+                                                    0.0)),
+        "composed fwd+bwd": make_grad(
+            lambda a, b, c: composed_attention(a, b, c, None, 0.125)),
+    }
+    results = {}
+    for name, g in arms.items():
+        out = g(q, k, v)
+        float(jnp.sum(out[0].astype(jnp.float32)))  # warm + sync
+    for _ in range(3):
+        for name, g in arms.items():
+            t0 = time.time()
+            for i in range(3):
+                out = g(q, k, v)
+            float(jnp.sum(out[0].astype(jnp.float32)))
+            dt = (time.time() - t0) / 3
+            results[name] = min(results.get(name, float("inf")), dt)
+    for name, dt in results.items():
+        print(f"attn grad {name}: {dt*1e3:.2f} ms")
+    return results
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("fusion", "all"):
+        measure_attn_fusion()
+    if which in ("attn", "all"):
+        measure_attn_train()
+    if which in ("bwd", "all"):
+        measure_attn_bwd()
