@@ -119,6 +119,20 @@ def _fwd(q, k, v, bias, scale):
 
 def _bwd(scale, res, g):
     q, k, v, bias = res
+    import os
+
+    if os.environ.get("R3D_ATTN_PALLAS_BWD") != "0":
+        # Pallas backward is the default (measured, tools/measure_r3.py,
+        # v5e, S=3100 bf16 self-attention): 1.49x vs the remat-composed vjp
+        # at B=8 (20.0 vs 29.8 ms), and at B=64 it is the ONLY form that
+        # runs — rematerializing the [S, S] scores in fp32 needs ~19.7 GB
+        # HBM (measured OOM). rate=0 takes the PRNG-free path, so this also
+        # works in interpret mode.
+        had_bias = bias is not None
+        dq, dk, dv, db = _pallas_attention_bwd(
+            q, k, v, bias, 0, scale, 0.0, g
+        )
+        return dq, dk, dv, (db if had_bias else None)
     _, vjp = jax.vjp(
         lambda q_, k_, v_, b_: composed_attention(q_, k_, v_, b_, scale),
         q, k, v, bias,
@@ -295,6 +309,12 @@ def _pallas_attention_dropout(q, k, v, bias, seed, scale, rate,
 
 def _pallas_attention_bwd(q, k, v, bias, seed, scale, rate, g,
                           block_q: int = 256):
+    # the backward keeps ~4 live [block_q, Skp] fp32 intermediates (w, dwd,
+    # dw, ds) next to K/V and the dk/dv accumulators — at Skp>1024 a 256-row
+    # tile blows the 16MB scoped-VMEM limit (measured 17.2M at S=3100);
+    # halve the tile for long keys
+    if k.shape[2] > 1024:
+        block_q = min(block_q, 128)
     qs, ks, vs, bs, (B, H, S, Sk, D, Sq, Skp, block_q) = _prep(
         q, k, v, bias, block_q
     )
@@ -420,9 +440,17 @@ def attention_kernel_eligible(Lq: int, Lk: int, D: int) -> bool:
     against S=3100 keys) — the kernel tiles q adaptively."""
     from r3d_tpu.ops.fuser_kernel import pallas_enabled
 
+    # Cross-attention boundary is MEASURED (tools/measure_r3.py, v5e,
+    # interleaved A/B of the full train step): tiny-Lq kernels win at short
+    # keys (fusion 8x256: 1.17x) but LOSE at long keys (50salads 20x3100:
+    # 0.80x — the per-(batch,head) sequential grid underutilizes against
+    # XLA's batched einsum when q has so few rows), so small-Lq cross
+    # shapes stay composed beyond Lk=512. Self-attention keeps the r2 win
+    # (1.35x at S=3100).
     return (
         pallas_enabled()
         and Lk >= 256
+        and (Lq == Lk or Lk <= 512 or Lq >= 256)
         and Lk * D * 4 * 2 <= 4 * 1024 * 1024
     )
 

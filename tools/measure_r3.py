@@ -103,47 +103,62 @@ def measure_attn_train():
     return best_a, best_b
 
 
-def measure_attn_bwd():
+def measure_attn_bwd(B=64):
+    """VERDICT r2 #9. Finding at B=64/bf16/S=3100: the remat-composed
+    backward CANNOT run — rematerializing the [S, S] scores in fp32 needs
+    ~19.7 GB HBM (measured OOM: 18.95G of 15.75G) — so arms that OOM are
+    reported as such and re-measured at B=8 for a rate comparison."""
     from r3d_tpu.ops.attention import (
         composed_attention, flash_attention, flash_attention_dropout,
     )
 
-    B, H, S, D = 64, 8, 3100, 64
-    rng = np.random.RandomState(0)
-    q = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
-    k = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
-    v = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+    H, S, D = 8, 3100, 64
 
-    def make_grad(fn):
-        return jax.jit(jax.grad(
-            lambda a, b, c: jnp.sum(fn(a, b, c).astype(jnp.float32) ** 2),
-            argnums=(0, 1, 2),
-        ))
+    def arms_for(Bx):
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(Bx, H, S, D), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(Bx, H, S, D), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(Bx, H, S, D), jnp.bfloat16)
 
-    arms = {
-        "remat-composed bwd": make_grad(
-            lambda a, b, c: flash_attention(a, b, c, None, 0.125)),
-        "pallas bwd": make_grad(
-            lambda a, b, c: flash_attention_dropout(a, b, c, None, 3, 0.125,
-                                                    0.0)),
-        "composed fwd+bwd": make_grad(
-            lambda a, b, c: composed_attention(a, b, c, None, 0.125)),
-    }
-    results = {}
-    for name, g in arms.items():
-        out = g(q, k, v)
-        float(jnp.sum(out[0].astype(jnp.float32)))  # warm + sync
-    for _ in range(3):
+        def make_grad(fn):
+            return jax.jit(jax.grad(
+                lambda a, b, c: jnp.sum(fn(a, b, c).astype(jnp.float32) ** 2),
+                argnums=(0, 1, 2),
+            ))
+
+        return (q, k, v), {
+            "remat-composed bwd": make_grad(
+                lambda a, b, c: flash_attention(a, b, c, None, 0.125)),
+            "pallas bwd": make_grad(
+                lambda a, b, c: flash_attention_dropout(a, b, c, None, 3,
+                                                        0.125, 0.0)),
+            "composed fwd+bwd": make_grad(
+                lambda a, b, c: composed_attention(a, b, c, None, 0.125)),
+        }
+
+    for Bx in (B, 8):
+        (q, k, v), arms = arms_for(Bx)
+        live = {}
         for name, g in arms.items():
-            t0 = time.time()
-            for i in range(3):
+            try:
                 out = g(q, k, v)
-            float(jnp.sum(out[0].astype(jnp.float32)))
-            dt = (time.time() - t0) / 3
-            results[name] = min(results.get(name, float("inf")), dt)
-    for name, dt in results.items():
-        print(f"attn grad {name}: {dt*1e3:.2f} ms")
-    return results
+                float(jnp.sum(out[0].astype(jnp.float32)))
+                live[name] = g
+            except Exception as e:
+                print(f"B={Bx} attn grad {name}: OOM/err "
+                      f"({str(e).splitlines()[0][:90]})")
+        results = {}
+        for _ in range(3):
+            for name, g in live.items():
+                t0 = time.time()
+                for i in range(3):
+                    out = g(q, k, v)
+                float(jnp.sum(out[0].astype(jnp.float32)))
+                dt = (time.time() - t0) / 3
+                results[name] = min(results.get(name, float("inf")), dt)
+        for name, dt in results.items():
+            print(f"B={Bx} attn grad {name}: {dt*1e3:.2f} ms "
+                  f"({Bx/dt:.1f} seq/s)")
 
 
 if __name__ == "__main__":
