@@ -241,27 +241,34 @@ def main(profile_dir: str = None):
         with open(baseline_50s_path) as f:
             baseline_50s_cps = json.load(f)["train_clips_per_sec"]
 
+    cached_cps = B / cached_sec
     print(
         json.dumps(
             {
+                # headline = the fit_cached hot path over DISTINCT views —
+                # the rate end-to-end training actually achieves (in-step HBM
+                # gather, zero per-step H2D), not the most favorable
+                # one-batch-broadcast scan (kept in details)
                 "metric": "fusion_train_clips_per_sec_per_chip",
-                "value": round(multi_cps, 2),
+                "value": round(cached_cps, 2),
                 "unit": "clips/s",
-                "vs_baseline": round(multi_cps / baseline_cps, 2),
+                "vs_baseline": round(cached_cps / baseline_cps, 2),
                 "details": {
                     "workload": (
                         "futr_fusion_bn B=8 S=256 in=2048 depth=160x120 h=128, "
-                        f"steps_per_dispatch={K} (Trainer.make_multi_step; "
-                        "equivalence-tested vs sequential steps)"
+                        f"steps_per_dispatch={K}, batches gathered in-step "
+                        "from the HBM dataset cache (Trainer.fit_cached hot "
+                        "path, 128 distinct views; bit-exact vs the host "
+                        "loader, tests/test_device_cache.py)"
                     ),
                     "infer_clips_per_sec": round(infer_cps, 2),
-                    "train_step_ms": round(multi_sec * 1e3, 2),
+                    "train_step_ms": round(cached_sec * 1e3, 2),
                     "single_dispatch_train_step_ms": round(train_sec * 1e3, 2),
                     "single_dispatch_clips_per_sec": round(train_cps, 2),
-                    "device_cache_train_clips_per_sec": round(B / cached_sec, 2),
-                    "device_cache_note": (
-                        "batches gathered in-step from the HBM dataset cache "
-                        "(fit_cached hot path, 128 views; zero per-step H2D)"
+                    "scan_one_batch_clips_per_sec": round(multi_cps, 2),
+                    "scan_one_batch_note": (
+                        "K-step scan over ONE broadcast batch (upper bound; "
+                        "the former headline)"
                     ),
                     "baseline": "torch-cpu reference (baseline_cpu.json)",
                     "device": str(jax.devices()[0]),
@@ -282,7 +289,7 @@ def main(profile_dir: str = None):
                     "fusion_B64_train_clips_per_sec": round(64 / sec64, 2),
                     "fusion_B64_train_step_ms": round(sec64 * 1e3, 2),
                     "achieved_tflops": (
-                        round(flops / multi_sec / 1e12, 2) if flops else None
+                        round(flops / cached_sec / 1e12, 2) if flops else None
                     ),
                     "50salads_achieved_tflops": (
                         round(flops50 / sec50 / 1e12, 2) if flops50 else None
