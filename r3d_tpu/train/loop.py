@@ -148,6 +148,19 @@ class Trainer:
                 total = total + loss_cls
             metrics.update(loss_cls=loss_cls, cls_correct=nc, cls_total=nw)
 
+            if not train:
+                # the reference validate's "weighted accuracy"
+                # (train_proposed_depth.py:9-26,91-95): the single uniform
+                # batch weight cancels, leaving plain non-pad accuracy —
+                # but with NO exclude idx (unlike cal_performance's
+                # counters) and averaged PER BATCH, so it is a genuinely
+                # distinct best-ckpt metric whenever exclude_class_idx
+                # hits or batch sizes vary
+                wa_nc, wa_nw = accuracy_counts(act_flat, gold_t, pad, None)
+                metrics["weight_acc_batch"] = jnp.where(
+                    wa_nw > 0, wa_nc / jnp.maximum(wa_nw, 1), 0.0
+                ).astype(jnp.float32)
+
             if "duration" in outputs:  # the TCN baseline has no duration head
                 loss_dur = duration_loss(
                     outputs["duration"], dur * dur_mask, dur_mask
@@ -523,24 +536,36 @@ class Trainer:
                                       device_prefetch)
             val_acc = vagg.get("cls_correct", 0.0) / max(vagg.get("cls_total", 0.0), 1.0)
             val_loss = vagg.get("loss", 0.0) / max(vb, 1)
-            # uniform-weight val "weighted accuracy" — see losses docstring
-            weight_acc = val_acc
+            # the reference's per-batch-mean "weighted accuracy" — no
+            # exclude idx, averaged over batches (train_proposed_depth.py:
+            # 91-95,146); distinct from val_acc in general
+            weight_acc = vagg.get("weight_acc_batch", 0.0) / max(vb, 1)
             log(
-                f"Validation Loss: {val_loss:.3f}, Class Accuracy: {val_acc:.3f}"
+                f"Validation Loss: {val_loss:.3f}, Class Accuracy: {val_acc:.3f}, "
+                f"Weighted Accuracy: {weight_acc:.3f}"
             )
             if metrics_logger is not None:
                 rec = {f"train_{k}": v / max(n_batches, 1) for k, v in agg.items()}
                 rec.update(
                     epoch=epoch, seed=seed, train_acc=acc, val_loss=val_loss,
-                    val_acc=val_acc, clips_per_sec=n_clips / max(dt, 1e-9),
+                    val_acc=val_acc, val_weight_acc=weight_acc,
+                    clips_per_sec=n_clips / max(dt, 1e-9),
                 )
                 if "erank" in vagg:  # the paper's analysis curve, per epoch
                     rec["val_erank"] = vagg["erank"] / max(vb, 1)
                 metrics_logger.log(rec, step=int(state.step))
 
-            if val_acc > best_val_acc or weight_acc > best_weight_acc:
-                best_val_acc = max(val_acc, best_val_acc)
-                best_weight_acc = max(weight_acc, best_weight_acc)
+            # best-ckpt rule per reference loop family: train.py:63 and
+            # train_tcn.py:44 gate on accuracy alone; proposed/unimodal/
+            # unsupervised OR the two metrics and OVERWRITE both bests on
+            # improvement (train_proposed_depth.py:237-241 — best_val_acc
+            # can go DOWN when only weight_acc improved)
+            two_metric = cfg.loop not in ("futr", "tcn")
+            if val_acc > best_val_acc or (
+                two_metric and weight_acc > best_weight_acc
+            ):
+                best_val_acc = val_acc
+                best_weight_acc = weight_acc
                 if checkpointer is not None:
                     checkpointer.save_best(state, seed=seed, epoch=epoch)
                     log(f"Best model saved (val acc {val_acc:.3f})")
@@ -647,6 +672,7 @@ class Trainer:
                 )
 
         best_val_acc = 0.0
+        best_weight_acc = 0.0
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             plan = [
@@ -709,21 +735,30 @@ class Trainer:
                 vagg.get("cls_total", 0.0), 1.0
             )
             val_loss = vagg.get("loss", 0.0) / max(vb, 1)
+            weight_acc = vagg.get("weight_acc_batch", 0.0) / max(vb, 1)
             log(
-                f"Validation Loss: {val_loss:.3f}, Class Accuracy: {val_acc:.3f}"
+                f"Validation Loss: {val_loss:.3f}, Class Accuracy: {val_acc:.3f}, "
+                f"Weighted Accuracy: {weight_acc:.3f}"
             )
             if metrics_logger is not None:
                 rec = {f"train_{k}": v / max(n_batches, 1) for k, v in agg.items()}
                 rec.update(
                     epoch=epoch, seed=seed, train_acc=acc, val_loss=val_loss,
-                    val_acc=val_acc, clips_per_sec=n_clips / max(dt, 1e-9),
+                    val_acc=val_acc, val_weight_acc=weight_acc,
+                    clips_per_sec=n_clips / max(dt, 1e-9),
                 )
                 if "erank" in vagg:  # the paper's analysis curve, per epoch
                     rec["val_erank"] = vagg["erank"] / max(vb, 1)
                 metrics_logger.log(rec, step=int(state.step))
 
-            if val_acc > best_val_acc:
+            # same two-metric OR/overwrite rule as fit() (the reference's
+            # train_proposed_depth.py:237-241)
+            two_metric = cfg.loop not in ("futr", "tcn")
+            if val_acc > best_val_acc or (
+                two_metric and weight_acc > best_weight_acc
+            ):
                 best_val_acc = val_acc
+                best_weight_acc = weight_acc
                 if checkpointer is not None:
                     checkpointer.save_best(state, seed=seed, epoch=epoch)
                     log(f"Best model saved (val acc {val_acc:.3f})")

@@ -155,3 +155,90 @@ def test_tcn_slot_decode():
     assert decode_frames_from_slots(logits, 0).shape == (0,)
     # future longer than Q repeats evenly; shorter truncates head slots
     np.testing.assert_array_equal(decode_frames_from_slots(logits, 2), [2, 3])
+
+
+def test_tcn_reference_train_loop_is_unrunnable():
+    """train_tcn.py:27,85 unpack THREE values from cal_performance, which
+    returns four (utils.py:378) — the committed TCN training loop crashes
+    on its first batch (COMPAT #30).  Pin the exact crash."""
+    import utils as ref_utils
+
+    out = torch.randn(6, N_CLASS)
+    gold = torch.randint(0, N_CLASS, (6,))
+    with pytest.raises(ValueError):
+        loss, n_c, n_t = ref_utils.cal_performance(out, gold, PAD_IDX)
+
+
+def test_tcn_train_convergence_matches_corrected_loop():
+    """loop='tcn' semantics (VERDICT r2 partial #48): plain cal_performance
+    CE on the anticipation slots, no seg/duration heads, AdamW — vs the
+    reference train_tcn.py loop with its 3-vs-4 unpack corrected (the only
+    way it can execute).  Weight-norm v/g parametrization must match
+    torch's so gradient TRAJECTORIES track, not just forwards."""
+    import optax
+    import utils as ref_utils
+    from model.tcn import MustafaNet1DTCN, TemporalConvNet1D
+
+    from r3d_tpu.losses import accuracy_counts, cross_entropy_loss
+
+    torch.manual_seed(5)
+    ref = MustafaNet1DTCN(num_classes=N_CLASS, anticipated_frames=8)
+    ref.tcn_local = TemporalConvNet1D(
+        num_inputs=16, num_channels=[8, 12, 12, 8], kernel_size=3,
+        dropout=0.2,
+    )
+    ref.regression = torch.nn.Conv1d(8, N_CLASS * 8, kernel_size=1)
+    torch_ref.zero_dropout(ref)
+    # jnp.array COPIES: t2n views torch storage and jnp.asarray is zero-copy
+    # on CPU, so torch's in-place AdamW below would mutate aliased params
+    params = jax.tree.map(jnp.array, torch_ref.tcn_baseline_params(ref))
+    ref.train()
+
+    rng_np = np.random.RandomState(5)
+    batches = []
+    for _ in range(6):
+        x = rng_np.randn(4, 23, 16).astype(np.float32)
+        tgt = rng_np.randint(0, N_CLASS, size=(4, 8))
+        tgt[rng_np.rand(4, 8) < 0.2] = PAD_IDX
+        batches.append((x, tgt))
+
+    LR, WD = 1e-3, 5e-3
+    opt = torch.optim.AdamW(ref.parameters(), LR, weight_decay=WD)
+    torch_losses, torch_val = [], []
+    for x, tgt in batches:
+        opt.zero_grad()
+        out = ref(torch.tensor(x))
+        loss, n_c, n_t, _ = ref_utils.cal_performance(
+            out.reshape(-1, N_CLASS), torch.tensor(tgt).reshape(-1), PAD_IDX
+        )
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+        torch_val.append((int(n_c), int(n_t)))
+
+    cfg = small_cfg("tcn")
+    ours = TCNAnticipator(cfg, N_CLASS, channels=(8, 12, 12, 8))
+    tx = optax.adamw(LR, b1=0.9, b2=0.999, eps=1e-8, weight_decay=WD)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, x, tgt):
+        out = ours.apply({"params": p}, x, train=False)
+        logits = out["action"].reshape(-1, N_CLASS)
+        loss, _ = cross_entropy_loss(logits, tgt.reshape(-1), PAD_IDX, None)
+        return loss, logits
+
+    our_losses, our_val = [], []
+    for x, tgt in batches:
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, jnp.asarray(x), jnp.asarray(tgt)
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        our_losses.append(float(loss))
+        n_c, n_t = accuracy_counts(
+            logits, jnp.asarray(tgt).reshape(-1), PAD_IDX, None
+        )
+        our_val.append((int(n_c), int(n_t)))
+
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=1e-3)
+    assert our_val == torch_val
