@@ -55,6 +55,12 @@ class DataConfig:
     # basedataset_utkinects.py:31-42).
     train_obs_percs: Tuple[float, ...] = (0.4, 0.45, 0.2, 0.25, 0.3, 0.35, 0.5, 0.55, 0.6, 0.65)
     pred_perc: float = 0.5              # future horizon (basedataset.py:60)
+    # LLM-labeled darai loaders bound the future window to n_query
+    # transcript samples instead of pred_perc*vid_len: the slice takes
+    # ``future_frames * sample_rate`` gt frames after the observed prefix
+    # (basedataset_darai_llm.py:428, basedataset_darai_llm_train.py). None
+    # keeps the pred_perc window.
+    future_frames: Optional[int] = None
     # Bucketed static shapes for XLA. Sequences pad up to the smallest bucket.
     seq_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2000)
     depth_shape: Tuple[int, int] = (160, 120)  # utk (futr_safuser_batchnormalization.py:154)

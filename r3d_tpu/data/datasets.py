@@ -327,6 +327,7 @@ class VideoSource:
                         depth_features=None if depth is None else depth[:n],
                         query_idx=meta["query_idx"], vid_name=vid,
                         features_presliced=True,
+                        future_frames=self.cfg.future_frames,
                     )
             # fall through to the numpy path on any native failure
 
@@ -338,6 +339,7 @@ class VideoSource:
             self.pad_idx, self.n_class,
             depth_features=v.get("depth"), query_idx=v["query_idx"],
             vid_name=vid if seq is None else f"{vid}::{seq}",
+            future_frames=self.cfg.future_frames,
         )
 
 

@@ -153,6 +153,7 @@ def build_cache(
     feature_dtype: str = "float32",
     query_pad_idx: Optional[int] = None,
     max_bytes: int = 12 << 30,
+    future_frames: Optional[int] = None,
 ) -> DeviceCache:
     """videos: dicts with 'features' [L,D], 'label_idx' [L] int, optional
     'depth' [L,...] and 'query_idx' ([L] int or [L,2] float).
@@ -171,7 +172,12 @@ def build_cache(
         n_feat = len(v["features"])
         for obs in obs_percs:
             observed = int(obs * vid_len)
-            pred = int(0.5 * vid_len)
+            # mirror protocol.make_example_from_indices' future window
+            pred = (
+                future_frames * sample_rate
+                if future_frames is not None
+                else int(0.5 * vid_len)
+            )
             past = idx[:observed][::sample_rate]
             # the host collate truncates past_label/query to the FEATURE
             # stream's strided row count (pad_batch's s = min(feat rows, S));
@@ -284,6 +290,7 @@ def cache_from_source(source, cfg, n_query: int,
             len(source.query_dict) if source.query_dict is not None else None
         ),
         max_bytes=max_bytes,
+        future_frames=cfg.future_frames,
     )
 
 

@@ -126,6 +126,7 @@ def make_example_from_indices(
     pred_perc: float = 0.5,
     vid_name: str = "",
     features_presliced: bool = False,
+    future_frames: Optional[int] = None,
 ) -> Example:
     """make_example on pre-parsed int label arrays — the hot loader path
     (labels parse once per video, transcripts are vectorized).
@@ -135,7 +136,13 @@ def make_example_from_indices(
     none_idx = n_class - 1
     vid_len = len(label_idx)
     observed_len = int(obs_perc * vid_len)
-    pred_len = int(pred_perc * vid_len)
+    # darai_llm bounds the future window to future_frames*sample_rate gt
+    # frames (basedataset_darai_llm.py:428) instead of pred_perc*vid_len
+    pred_len = (
+        future_frames * sample_rate
+        if future_frames is not None
+        else int(pred_perc * vid_len)
+    )
 
     past_label = label_idx[:observed_len][::sample_rate]
     feats = features if features_presliced else features[:observed_len][::sample_rate]
@@ -185,6 +192,7 @@ def make_example(
     query_dict: Optional[Dict[str, int]] = None,
     pred_perc: float = 0.5,
     vid_name: str = "",
+    future_frames: Optional[int] = None,
 ) -> Example:
     """Build one example from per-frame features + labels.
 
@@ -194,7 +202,11 @@ def make_example(
     none_idx = n_class - 1
     vid_len = len(frame_labels)
     observed_len = int(obs_perc * vid_len)
-    pred_len = int(pred_perc * vid_len)
+    pred_len = (
+        future_frames * sample_rate
+        if future_frames is not None
+        else int(pred_perc * vid_len)
+    )
 
     feats = features[:observed_len][::sample_rate]
     past_content = list(frame_labels[:observed_len])[::sample_rate]
