@@ -268,3 +268,156 @@ def test_dropout_kernel_mask_consistency_tpu():
     for a, b, name in zip(g_k, g_c, "qkv"):
         np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-2,
                                    rtol=2e-2, err_msg=name)
+
+
+# ---------------------------------------------------------------- native cross
+
+
+def _composed_native(q, k, v, bias, scale, H):
+    """Composed oracle on native [B, L, C] operands."""
+    B, Lq, C = q.shape
+    Lk = k.shape[1]
+    D = C // H
+    o = composed_attention(
+        jnp.swapaxes(q.reshape(B, Lq, H, D), 1, 2),
+        jnp.swapaxes(k.reshape(B, Lk, H, D), 1, 2),
+        jnp.swapaxes(v.reshape(B, Lk, H, D), 1, 2),
+        bias, scale,
+    )
+    return jnp.swapaxes(o, 1, 2).reshape(B, Lq, C)
+
+
+def test_cross_native_matches_composed():
+    """Native-layout cross-attention kernel (ops/cross_attention.py):
+    values + all four grads vs composed, with a padding mask and a key
+    length that is no multiple of the kernel's key block."""
+    from r3d_tpu.ops.cross_attention import cross_attention_native
+
+    rng = np.random.RandomState(9)
+    B, Lq, Lk, H, C = 2, 20, 777, 4, 64
+    scale = 0.17
+    q = jnp.array(rng.randn(B, Lq, C).astype(np.float32))
+    k = jnp.array(rng.randn(B, Lk, C).astype(np.float32))
+    v = jnp.array(rng.randn(B, Lk, C).astype(np.float32))
+    pad = np.zeros((B, Lk), bool)
+    pad[0, 700:] = True
+    bias = jnp.where(jnp.array(pad), jnp.finfo(jnp.float32).min, 0.0)[
+        :, None, None, :
+    ]
+
+    ref = _composed_native(q, k, v, bias, scale, H)
+    out = cross_attention_native(q, k, v, bias, 0, scale, 0.0, H)
+    np.testing.assert_allclose(np.array(out), np.array(ref), atol=2e-5)
+
+    def loss(fn):
+        return lambda a, b, c, d: jnp.sum(fn(a, b, c, d) ** 2)
+
+    g_ref = jax.grad(
+        loss(lambda a, b, c, d: _composed_native(a, b, c, d, scale, H)),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, bias)
+    g_out = jax.grad(
+        loss(lambda a, b, c, d: cross_attention_native(
+            a, b, c, d, 0, scale, 0.0, H)),
+        argnums=(0, 1, 2, 3),
+    )(q, k, v, bias)
+    for name, a, b in zip("qkvb", g_out, g_ref):
+        np.testing.assert_allclose(
+            np.array(a), np.array(b), atol=3e-4, err_msg=f"d{name}"
+        )
+
+
+def test_cross_native_mha_module_path_matches():
+    """MultiheadAttention routes tiny-Lq/long-Lk shapes to the native
+    kernel under R3D_FORCE_PALLAS; output must equal the composed module."""
+    from r3d_tpu.models.layers import MultiheadAttention
+    from r3d_tpu.ops.cross_attention import cross_attention_native_eligible
+
+    rng = np.random.RandomState(5)
+    tgt = jnp.array(rng.randn(2, 20, 64).astype(np.float32))
+    mem = jnp.array(rng.randn(2, 600, 64).astype(np.float32))
+    pad = np.zeros((2, 600), bool)
+    pad[1, 512:] = True
+    mha = MultiheadAttention(64, 4, dropout=0.0)
+    params = mha.init(jax.random.PRNGKey(0), tgt, mem, mem)["params"]
+
+    out_composed = mha.apply({"params": params}, tgt, mem, mem, jnp.array(pad))
+    os.environ["R3D_FORCE_PALLAS"] = "1"
+    try:
+        assert cross_attention_native_eligible(20, 600, 64, 4, 0.0)
+        assert cross_attention_native_eligible(20, 3100, 512, 8, 0.0)
+        assert not cross_attention_native_eligible(256, 256, 64, 4, 0.0)
+        out_kernel = mha.apply(
+            {"params": params}, tgt, mem, mem, jnp.array(pad)
+        )
+    finally:
+        del os.environ["R3D_FORCE_PALLAS"]
+    np.testing.assert_allclose(
+        np.array(out_kernel), np.array(out_composed), atol=2e-5
+    )
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel PRNG needs hardware")
+def test_cross_native_dropout_mask_consistency_tpu():
+    """rate>0 on hardware: per-seed determinism, correct drop fraction /
+    1/(1-p) scaling, and a backward that regenerates the identical mask
+    (grads match autodiff of composed with the realized mask baked in).
+    Sk == D so a per-head identity v reads the dropped weights out."""
+    from r3d_tpu.ops.cross_attention import cross_attention_native
+
+    rng = np.random.RandomState(13)
+    B, Lq, Sk, H, D = 1, 16, 128, 2, 128
+    C = H * D
+    rate, seed, scale = 0.3, 77, 0.09
+    q = jnp.array(rng.randn(B, Lq, C).astype(np.float32))
+    k = jnp.array(rng.randn(B, Sk, C).astype(np.float32))
+    eye = jnp.concatenate(
+        [jnp.eye(Sk, dtype=jnp.float32)] * H, axis=1
+    )[None]                                   # [1, Sk, C], identity per head
+
+    wd = np.array(cross_attention_native(q, k, eye, None, seed, scale, rate, H))
+    w = np.array(_composed_native(q, k, eye, None, scale, H))
+    ratio = wd / np.maximum(w, 1e-30)
+    keep = ratio > 0.5
+    np.testing.assert_allclose(ratio[keep], 1.0 / (1.0 - rate), rtol=2e-2)
+    assert np.all(np.abs(ratio[~keep]) < 2e-2)
+    assert abs((1.0 - keep.mean()) - rate) < 0.04
+
+    wd2 = np.array(cross_attention_native(q, k, eye, None, seed, scale, rate, H))
+    np.testing.assert_array_equal(wd, wd2)
+    assert not np.array_equal(
+        wd, np.array(cross_attention_native(q, k, eye, None, seed + 1, scale,
+                                            rate, H))
+    )
+
+    v = jnp.array(rng.randn(B, Sk, C).astype(np.float32))
+    mask = jnp.array(keep.astype(np.float32) / (1.0 - rate))  # [B, Lq, C]
+
+    def composed_masked(q_, k_, v_):
+        out = []
+        for h in range(H):
+            qh = q_[:, :, h * D:(h + 1) * D]
+            kh = k_[:, :, h * D:(h + 1) * D]
+            vh = v_[:, :, h * D:(h + 1) * D]
+            s = jnp.einsum("bqd,bkd->bqk", qh, kh) * scale
+            w_ = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+            w_ = w_ * mask[:, :, h * D:(h + 1) * D]   # D == Sk
+            out.append(jnp.einsum("bqk,bkd->bqd", w_, vh))
+        return jnp.concatenate(out, axis=-1)
+
+    g_kern = jax.grad(
+        lambda a, b, c: jnp.sum(
+            cross_attention_native(a, b, c, None, seed, scale, rate, H) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_comp = jax.grad(
+        lambda a, b, c: jnp.sum(composed_masked(a, b, c) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, a, b in zip("qkv", g_kern, g_comp):
+        np.testing.assert_allclose(
+            np.array(a), np.array(b), atol=5e-3, rtol=1e-2,
+            err_msg=f"d{name}",
+        )

@@ -161,6 +161,38 @@ def measure_attn_bwd(B=64):
                   f"({Bx/dt:.1f} seq/s)")
 
 
+def measure_cross_native(B=8):
+    """Native-layout cross-attention kernel (ops/cross_attention.py) vs the
+    previous routing (composed decoder cross at 20x3100 — the generic
+    kernel measured 0.80x there and is ineligible) on the full 50salads
+    train step."""
+    import r3d_tpu.ops.cross_attention as xattn
+    from tools.measure_r2 import make_futr_50s
+
+    rng = jax.random.PRNGKey(0)
+    # arm A: native cross kernel patched ineligible at trace time
+    orig = xattn.cross_attention_native_eligible
+    xattn.cross_attention_native_eligible = lambda *a: False
+    tr_a, st_a, b_a = make_futr_50s("bfloat16", batch_size=B)
+    step_a = tr_a.make_train_step().lower(st_a, b_a, rng, 0).compile()
+    xattn.cross_attention_native_eligible = orig
+    # arm B: default routing (native kernel takes the decoder cross)
+    tr_b, st_b, b_b = make_futr_50s("bfloat16", batch_size=B)
+    step_b = tr_b.make_train_step().lower(st_b, b_b, rng, 0).compile()
+
+    st_a, m = step_a(st_a, b_a, rng, 0); float(m["loss"])
+    st_b, m = step_b(st_b, b_b, rng, 0); float(m["loss"])
+    best_a = best_b = float("inf")
+    for _ in range(4):
+        s, st_a = _time_step(step_a, st_a, b_a, rng, reps=1)
+        best_a = min(best_a, s)
+        s, st_b = _time_step(step_b, st_b, b_b, rng, reps=1)
+        best_b = min(best_b, s)
+    print(f"50salads B={B} train step: prev-routing {best_a*1e3:.3f} ms  "
+          f"native-cross {best_b*1e3:.3f} ms  ({best_a/best_b:.3f}x)")
+    return best_a, best_b
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("fusion", "all"):
@@ -169,3 +201,5 @@ if __name__ == "__main__":
         measure_attn_train()
     if which in ("bwd", "all"):
         measure_attn_bwd()
+    if which in ("cross", "all"):
+        measure_cross_native()
