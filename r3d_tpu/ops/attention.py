@@ -281,8 +281,23 @@ def _prep(q, k, v, bias, block_q):
     )
 
 
+def _train_block_q(Lk: int, block_q: int = 256) -> int:
+    """q-tile size shared by the dropout forward AND backward kernels.
+
+    The backward keeps ~4 live [block_q, Skp] fp32 intermediates (w, dwd,
+    dw, ds) next to K/V and the dk/dv accumulators — at Skp>1024 a 256-row
+    tile blows the 16MB scoped-VMEM limit (measured 17.2M at S=3100), so
+    long-key shapes halve the tile. The FORWARD must use the identical rule:
+    the dropout keep-mask is regenerated in the backward from (seed, grid
+    position, block shape), so any fwd/bwd tile mismatch silently
+    decorrelates the masks (tests/test_attention_kernel.py pins fwd == bwd
+    tiling; the TPU mask-consistency test covers Lk > 1024)."""
+    return min(block_q, 128) if Lk > 1024 else block_q
+
+
 def _pallas_attention_dropout(q, k, v, bias, seed, scale, rate,
                               block_q: int = 256):
+    block_q = _train_block_q(k.shape[2], block_q)
     qs, ks, vs, bs, (B, H, S, Sk, D, Sq, Skp, block_q) = _prep(
         q, k, v, bias, block_q
     )
@@ -309,12 +324,8 @@ def _pallas_attention_dropout(q, k, v, bias, seed, scale, rate,
 
 def _pallas_attention_bwd(q, k, v, bias, seed, scale, rate, g,
                           block_q: int = 256):
-    # the backward keeps ~4 live [block_q, Skp] fp32 intermediates (w, dwd,
-    # dw, ds) next to K/V and the dk/dv accumulators — at Skp>1024 a 256-row
-    # tile blows the 16MB scoped-VMEM limit (measured 17.2M at S=3100);
-    # halve the tile for long keys
-    if k.shape[2] > 1024:
-        block_q = min(block_q, 128)
+    # tile rule MUST match the dropout forward's (see _train_block_q)
+    block_q = _train_block_q(k.shape[2], block_q)
     qs, ks, vs, bs, (B, H, S, Sk, D, Sq, Skp, block_q) = _prep(
         q, k, v, bias, block_q
     )

@@ -41,12 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = float(jnp.finfo(jnp.float32).min)
 
-
-def _keep_mask(rate: float, shape):
-    bits = pltpu.prng_random_bits(shape)
-    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
-    threshold = jnp.uint32(int(rate * 4294967296.0))
-    return (bits >= threshold).astype(jnp.float32) / (1.0 - rate)
+# the keep-mask generator is shared with ops/attention.py — both kernels'
+# backwards regenerate the forward's mask from the same PRNG recipe, and the
+# two modules must never drift apart on it
+from r3d_tpu.ops.attention import _dropout_keep as _keep_mask  # noqa: E402
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
@@ -343,17 +341,28 @@ def cross_attention_native_sharded(q, k, v, bias, seed, scale, rate, H):
 
     dp = mesh.shape.get("dp", 1)
     if dp <= 1 or q.shape[0] % dp != 0:
-        # composed fallback partitions cleanly under jit
+        # composed fallback partitions cleanly under jit — and must keep the
+        # attention-weight dropout semantics (bernoulli keep-mask scaled
+        # 1/(1-p), same as flash_attention_dropout_sharded's fallback)
         from r3d_tpu.ops.attention import composed_attention
 
         B, Lq, C = q.shape
         D = C // H
-        o = composed_attention(
-            jnp.swapaxes(q.reshape(B, Lq, H, D), 1, 2),
-            jnp.swapaxes(k.reshape(B, k.shape[1], H, D), 1, 2),
-            jnp.swapaxes(v.reshape(B, v.shape[1], H, D), 1, 2),
-            bias, scale,
-        )
+        qh = jnp.swapaxes(q.reshape(B, Lq, H, D), 1, 2)
+        kh = jnp.swapaxes(k.reshape(B, k.shape[1], H, D), 1, 2)
+        vh = jnp.swapaxes(v.reshape(B, v.shape[1], H, D), 1, 2)
+        if rate > 0.0:
+            s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
+            if bias is not None:
+                s = s + bias
+            w = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+            keep = jax.random.bernoulli(
+                jax.random.PRNGKey(seed), 1.0 - rate, w.shape
+            )
+            w = w * keep / (1.0 - rate)
+            o = jnp.einsum("bhqk,bhkd->bhqd", w.astype(qh.dtype), vh)
+        else:
+            o = composed_attention(qh, kh, vh, bias, scale)
         return jnp.swapaxes(o, 1, 2).reshape(B, Lq, C)
     if bias is None:
         bias = jnp.zeros((q.shape[0], 1, 1, k.shape[1]), jnp.float32)
@@ -383,8 +392,10 @@ def cross_attention_native_eligible(Lq: int, Lk: int, C: int, H: int,
 
     from r3d_tpu.ops.fuser_kernel import pallas_enabled
 
-    if not (os.environ.get("R3D_CROSS_NATIVE")
-            or os.environ.get("R3D_FORCE_PALLAS")):
+    # "1" enables; any other value (incl. "0") keeps the measured default
+    # off — same convention as fuser_kernel.pallas_enabled()
+    if not (os.environ.get("R3D_CROSS_NATIVE") == "1"
+            or os.environ.get("R3D_FORCE_PALLAS") == "1"):
         return False
     if not pallas_enabled() or C % H != 0 or (C // H) % 8 != 0:
         return False

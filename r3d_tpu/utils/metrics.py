@@ -37,6 +37,10 @@ class MetricsLogger:
             for k, v in record.items():
                 if isinstance(v, (int, float)):
                     self._tb.scalar(k, v, step)
+            # flush per record like the JSONL stream: TensorBoard tails the
+            # event file during the run, and an unclean exit (e.g. the
+            # tunnel wedging) must not lose buffered scalars
+            self._tb.flush()
 
     def close(self) -> None:
         self._f.close()

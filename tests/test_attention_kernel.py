@@ -421,3 +421,141 @@ def test_cross_native_dropout_mask_consistency_tpu():
             np.array(a), np.array(b), atol=5e-3, rtol=1e-2,
             err_msg=f"d{name}",
         )
+
+
+# ------------------------------------------------- round-3 review regressions
+
+
+def test_dropout_fwd_bwd_tile_rule_shared():
+    """The dropout keep-mask is a function of (seed, grid position, block
+    shape): the forward and backward kernels MUST pick the same q-tile or
+    the backward regenerates an unrelated mask (silent gradient corruption
+    at Lk>1024 — the 50salads S=3100 shape). _train_block_q is the single
+    source of truth for both."""
+    from r3d_tpu.ops.attention import _train_block_q
+
+    assert _train_block_q(512) == 256
+    assert _train_block_q(1024) == 256
+    assert _train_block_q(1025) == 128
+    assert _train_block_q(3100) == 128
+    # both kernel entry points route through the helper
+    import inspect
+
+    from r3d_tpu.ops import attention
+
+    assert "_train_block_q" in inspect.getsource(
+        attention._pallas_attention_dropout)
+    assert "_train_block_q" in inspect.getsource(
+        attention._pallas_attention_bwd)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel dropout needs the real TPU PRNG")
+def test_dropout_kernel_mask_consistency_long_keys_tpu():
+    """Lk>1024 with Lq large enough that the old fwd (256-row tiles) and bwd
+    (128-row tiles) grids diverged. Weight-dropout attention is LINEAR in v
+    at fixed (q, k, seed), out = WD @ v, so the vjp transpose identity
+    <out(u), G> == <u, grad_v <out(v), G>> holds iff the backward
+    regenerates the forward's mask."""
+    from r3d_tpu.ops.attention import flash_attention_dropout
+
+    rng = np.random.RandomState(21)
+    B, H, Lq, Sk, D = 1, 2, 256, 2048, 64
+    rate, seed, scale = 0.3, 555, 0.07
+    q = jnp.array(rng.randn(B, H, Lq, D).astype(np.float32))
+    k = jnp.array(rng.randn(B, H, Sk, D).astype(np.float32))
+    v = jnp.array(rng.randn(B, H, Sk, D).astype(np.float32))
+    u = jnp.array(rng.randn(B, H, Sk, D).astype(np.float32))
+    G = jnp.array(rng.randn(B, H, Lq, D).astype(np.float32))
+
+    out_u = flash_attention_dropout(q, k, u, None, seed, scale, rate)
+    gv = jax.grad(
+        lambda v_: jnp.sum(
+            flash_attention_dropout(q, k, v_, None, seed, scale, rate) * G
+        )
+    )(v)
+    lhs = float(jnp.sum(out_u * G))
+    rhs = float(jnp.sum(u * gv))
+    # measured on v5e: matched masks ~1% relative (TPU default-precision
+    # matmul + exp recompute in the bwd), a MISMATCHED mask ~68% — the
+    # identity separates the two by ~70x
+    err = abs(lhs - rhs) / abs(lhs)
+    assert err < 5e-2, (lhs, rhs)
+
+    # negative control: a desynced mask (different seed in the backward)
+    # must break the identity by far more than precision noise
+    from r3d_tpu.ops.attention import _pallas_attention_bwd
+
+    _, _, dv_bad, _ = _pallas_attention_bwd(
+        q, k, v, None, seed + 1, scale, rate, G)
+    err_bad = abs(lhs - float(jnp.sum(u * dv_bad))) / abs(lhs)
+    assert err_bad > 10 * err, (err, err_bad)
+
+
+def test_cross_native_sharded_fallback_keeps_dropout():
+    """cross_attention_native_sharded's composed fallback (mesh active, dp
+    not applicable) must still apply attention-weight dropout — review
+    finding: it silently trained unregularized. B=3 on a dp=8 mesh forces
+    the fallback; the bernoulli mask is exactly reproducible from the
+    seed."""
+    from r3d_tpu.ops.cross_attention import cross_attention_native_sharded
+    from r3d_tpu.parallel.mesh import make_mesh, set_active_mesh
+
+    rng = np.random.RandomState(3)
+    B, Lq, Sk, H, D = 3, 8, 64, 2, 16
+    C = H * D
+    rate, seed, scale = 0.5, 99, 0.2
+    q = jnp.array(rng.randn(B, Lq, C).astype(np.float32))
+    k = jnp.array(rng.randn(B, Sk, C).astype(np.float32))
+    v = jnp.array(rng.randn(B, Sk, C).astype(np.float32))
+
+    mesh = make_mesh(dp=8, tp=1, devices=jax.devices()[:8])
+    set_active_mesh(mesh)
+    try:
+        out = cross_attention_native_sharded(q, k, v, None, seed, scale,
+                                             rate, H)
+    finally:
+        set_active_mesh(None)
+
+    # oracle: composed per-head attention with the same bernoulli mask
+    qh = jnp.swapaxes(q.reshape(B, Lq, H, D), 1, 2)
+    kh = jnp.swapaxes(k.reshape(B, Sk, H, D), 1, 2)
+    vh = jnp.swapaxes(v.reshape(B, Sk, H, D), 1, 2)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) * scale
+    w = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    keep = jax.random.bernoulli(jax.random.PRNGKey(seed), 1.0 - rate, w.shape)
+    w = w * keep / (1.0 - rate)
+    ref = jnp.swapaxes(
+        jnp.einsum("bhqk,bhkd->bhqd", w.astype(q.dtype), vh), 1, 2
+    ).reshape(B, Lq, C)
+    np.testing.assert_allclose(np.array(out), np.array(ref), atol=1e-5)
+    # and the mask actually dropped something
+    ref0 = jnp.swapaxes(
+        jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            jax.nn.softmax(s.astype(jnp.float32), -1).astype(q.dtype), vh
+        ), 1, 2,
+    ).reshape(B, Lq, C)
+    assert not np.allclose(np.array(out), np.array(ref0))
+
+
+def test_cross_native_env_gate_zero_disables():
+    """R3D_CROSS_NATIVE=0 / R3D_FORCE_PALLAS=0 must keep the opt-in kernel
+    OFF (review finding: the truthy check turned '0' into an enable)."""
+    from r3d_tpu.ops.cross_attention import cross_attention_native_eligible
+
+    old_cn = os.environ.pop("R3D_CROSS_NATIVE", None)
+    old_fp = os.environ.pop("R3D_FORCE_PALLAS", None)
+    try:
+        os.environ["R3D_CROSS_NATIVE"] = "0"
+        assert not cross_attention_native_eligible(20, 3100, 512, 8, 0.0)
+        del os.environ["R3D_CROSS_NATIVE"]
+        os.environ["R3D_FORCE_PALLAS"] = "0"
+        assert not cross_attention_native_eligible(20, 3100, 512, 8, 0.0)
+    finally:
+        os.environ.pop("R3D_CROSS_NATIVE", None)
+        os.environ.pop("R3D_FORCE_PALLAS", None)
+        if old_cn is not None:
+            os.environ["R3D_CROSS_NATIVE"] = old_cn
+        if old_fp is not None:
+            os.environ["R3D_FORCE_PALLAS"] = old_fp
