@@ -200,7 +200,13 @@ def main(profile_dir: str = None):
     # --- second workload: the published 50salads shape (h512/S3100, bf16) ---
     from tools.measure_r2 import make_futr_50s
 
-    tr50, st50, b50 = make_futr_50s("bfloat16", batch_size=B)
+    # bf16 batch STORAGE matches the shipped 50salads config
+    # (DataConfig.feature_dtype): an f32 batch pays a measured 0.46 ms/step
+    # on-device convert of the stacked [K,B,S,2048] features inside the
+    # dispatch (trace: %convert.390) plus double H2D — interleaved A/B
+    # 5.84 -> 5.33 ms/step at K=8 (1.10x; tools/measure_r3.py notes)
+    tr50, st50, b50 = make_futr_50s(
+        "bfloat16", batch_size=B, feature_dtype="bfloat16")
     step50, flops50 = aot_step(tr50.make_train_step(), st50, b50, rng, 0)
     st50, m50 = step50(st50, b50, rng, 0)
     float(m50["loss"])

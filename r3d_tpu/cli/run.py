@@ -49,7 +49,16 @@ def train(config: Config, seed: int, dataset_ops: str = "",
             "val": build_source(config.data, val_name),
         }
     src = sources["train"]
-    trainer = Trainer(config, src.n_class)
+    mesh = None
+    if len(jax.devices()) > 1:
+        # multi-chip hosts train data-parallel by default (the reference
+        # wraps in nn.DataParallel unconditionally, main_utkinects.py:129);
+        # tp/sp come from MeshConfig for the wide/long configs
+        from r3d_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(config.mesh.dp, config.mesh.tp, config.mesh.sp)
+        log(f"mesh: {dict(mesh.shape)}")
+    trainer = Trainer(config, src.n_class, mesh=mesh)
 
     train_loader = build_loader(
         src, config.data, config.train.batch_size, config.model.n_query,
@@ -130,7 +139,7 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
         # DataParallel's inference counterpart, main.py:115)
         from r3d_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(config.mesh.dp, config.mesh.tp)
+        mesh = make_mesh(config.mesh.dp, config.mesh.tp, config.mesh.sp)
     predictor = Predictor(config, model, source.n_class, mesh=mesh)
 
     cache_data = None

@@ -237,10 +237,14 @@ class EvalConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh layout. Reference has DataParallel only (main.py:115);
-    here the batch rides a ('dp','tp') mesh with XLA collectives over ICI."""
+    here the batch rides a ('dp','tp','sp') mesh with XLA collectives over
+    ICI — dp shards the batch, tp the wide kernels (Megatron rules,
+    parallel/mesh.py), sp the sequence axis (ring attention,
+    ops/ring_attention.py)."""
 
-    dp: int = -1        # -1 => all devices on the dp axis
+    dp: int = -1        # -1 => remaining devices on the dp axis
     tp: int = 1
+    sp: int = 1         # sequence-parallel axis (long-S configs)
 
 
 @dataclass(frozen=True)

@@ -109,6 +109,29 @@ class MultiheadAttention(nn.Module):
         kh = kf.reshape(B, Lk, H, D)
         vh = vf.reshape(B, Lk, H, D)
 
+        # sequence-parallel mesh: self-attention over an sp-sharded S axis
+        # runs as ring attention (K/V rotate over ICI, no S gather). The
+        # dropout train path stays composed — GSPMD inserts the collectives
+        # (ops/ring_attention.py docstring on why the mask can't ride the
+        # ring).
+        from r3d_tpu.ops.ring_attention import (
+            ring_attention_eligible,
+            ring_attention_sharded,
+        )
+
+        if (
+            attn_bias is None
+            and not self.sow_weights
+            and (deterministic or self.dropout == 0.0)
+            and ring_attention_eligible(Lq, Lk)
+        ):
+            out = ring_attention_sharded(
+                jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2),
+                jnp.swapaxes(vh, 1, 2), bias, 1.0 / math.sqrt(D),
+            )
+            out = jnp.swapaxes(out, 1, 2).reshape(B, Lq, C)
+            return dense("out_proj")(out)
+
         if (
             attn_bias is None
             and (deterministic or self.dropout == 0.0)

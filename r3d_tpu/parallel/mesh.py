@@ -11,6 +11,12 @@ collectives (SURVEY.md §2.7).  The TPU-native equivalent is declarative: one
   depth projection kernel and the 4h FFNs shard column-/row-wise). The
   reference has no TP; the axis exists so larger configs scale without a
   rewrite, and is exercised by the multi-chip dry run.
+- axis ``sp``: optional sequence (context) parallelism — the S axis of
+  activations shards over devices, self-attention runs as ring attention
+  (ops/ring_attention.py, K/V rotating via ppermute over ICI), and every
+  other op partitions along S for free (embed/LN/heads are row-local;
+  losses psum). For sequences past one chip's HBM; exercised by the
+  multi-chip dry run and the fake-8-device tests.
 
 No communication code lives anywhere else: shardings go in, XLA emits
 psum/all-gather over ICI.
@@ -42,15 +48,16 @@ def active_mesh() -> Optional[Mesh]:
 
 
 def make_mesh(
-    dp: int = -1, tp: int = 1, devices: Optional[Sequence[Any]] = None
+    dp: int = -1, tp: int = 1, sp: int = 1,
+    devices: Optional[Sequence[Any]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        dp = n // tp
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
-    arr = np.array(devices).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, f"mesh {dp}x{tp}x{sp} != {n} devices"
+    arr = np.array(devices).reshape(dp, tp, sp)
+    return Mesh(arr, ("dp", "tp", "sp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -111,6 +118,24 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Land a host batch on device, split over the dp axis."""
+    """Land a host batch on device, split over the dp axis — and, when the
+    mesh has an sp axis, split every SEQUENCE-length axis-1 over sp too
+    (features/depth/past_label share the bucket length S; n_query-sized
+    arrays like target/duration stay dp-only)."""
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    sp = mesh.shape.get("sp", 1)
+    if sp == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    feats = batch.get("features")
+    S = feats.shape[1] if feats is not None and feats.ndim >= 2 else -1
+    dp_ax = "dp" if mesh.shape.get("dp", 1) > 1 else None
+
+    def put(x):
+        if (
+            hasattr(x, "ndim") and x.ndim >= 2
+            and x.shape[1] == S and S % sp == 0
+        ):
+            return jax.device_put(x, NamedSharding(mesh, P(dp_ax, "sp")))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)

@@ -472,6 +472,7 @@ class Trainer:
             overlaps H2D with compute (the reference's DataLoader only
             overlaps host work)."""
             sharding = stacked_sharding = None
+            sp = 1
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -480,17 +481,38 @@ class Trainer:
                 sharding = batch_sharding(self.mesh)
                 # stacked batches [K, B, ...]: dp shards the BATCH axis (1)
                 stacked_sharding = NamedSharding(self.mesh, P(None, "dp"))
+                sp = self.mesh.shape.get("sp", 1)
+                dp_ax = "dp" if self.mesh.shape.get("dp", 1) > 1 else None
 
-            def put(x, n_steps):
+            def put_batch(batch, n_steps):
                 if sharding is None:
-                    return jnp.asarray(x)
-                return jax.device_put(
-                    x, sharding if n_steps == 1 else stacked_sharding
+                    return {k: jnp.asarray(v) for k, v in batch.items()}
+                # sp meshes additionally split every sequence-length axis
+                # (features/depth/past_label share the bucket length S)
+                ax = 1 if n_steps == 1 else 2
+                feats = batch.get("features")
+                S = (
+                    feats.shape[ax]
+                    if feats is not None and feats.ndim > ax else -1
                 )
+                out = {}
+                for k, v in batch.items():
+                    sh = sharding if n_steps == 1 else stacked_sharding
+                    if (
+                        sp > 1 and hasattr(v, "ndim") and v.ndim > ax
+                        and v.shape[ax] == S and S % sp == 0
+                    ):
+                        spec = (
+                            P(dp_ax, "sp") if n_steps == 1
+                            else P(None, dp_ax, "sp")
+                        )
+                        sh = NamedSharding(self.mesh, spec)
+                    out[k] = jax.device_put(v, sh)
+                return out
 
             prev = None
             for n_steps, batch in gen:
-                nxt = (n_steps, {k: put(v, n_steps) for k, v in batch.items()})
+                nxt = (n_steps, put_batch(batch, n_steps))
                 if prev is not None:
                     yield prev
                 prev = nxt

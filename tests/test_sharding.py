@@ -29,7 +29,8 @@ def mesh8():
 
 
 def test_mesh_shapes(mesh8):
-    assert mesh8.shape == {"dp": 4, "tp": 2}
+    assert mesh8.shape == {"dp": 4, "tp": 2, "sp": 1}
+    assert make_mesh(dp=2, tp=1, sp=4).shape == {"dp": 2, "tp": 1, "sp": 4}
 
 
 def test_param_sharding_rules(mesh8):
