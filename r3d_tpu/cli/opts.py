@@ -83,6 +83,13 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
     p.add_argument("--erank_weight", type=float, default=None)
     p.add_argument("--erank_target", type=float, default=None)
     p.add_argument("--compute_dtype", default=None)
+    p.add_argument("--rng_impl", default=None, choices=["threefry2x32", "rbg"],
+                   help="dropout PRNG: default threefry2x32, or 'rbg' (TPU "
+                        "hardware RNG — cheaper mask generation)")
+    p.add_argument("--opt_mu_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="AdamW first-moment storage dtype (bf16 halves its "
+                        "HBM stream + optimizer memory; math stays fp32)")
     return p
 
 
@@ -118,6 +125,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         ("steps_per_dispatch", "steps_per_dispatch"),
         ("device_cache", "device_cache"),
         ("tensorboard", "tensorboard"),
+        ("rng_impl", "rng_impl"), ("opt_mu_dtype", "opt_mu_dtype"),
     ]:
         v = getattr(args, arg)
         if v is not None:

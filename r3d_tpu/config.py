@@ -201,6 +201,26 @@ class TrainConfig:
     # also mirror epoch/step metrics to TensorBoard event files (native
     # writer, utils/tbwriter.py — no tensorflow dependency); JSONL always on
     tensorboard: bool = False
+    # PRNG implementation for the training dropout stream. None = JAX's
+    # default (threefry2x32, counter-based in software). 'rbg' draws from
+    # the TPU's hardware RNG instead. MEASURED 0.83x on the 50salads step
+    # (8.04 -> 9.65 ms, same-process interleaved, tools/measure_r3.py
+    # measure_rng): XLA fuses the threefry bit-generation into the mask
+    # consumers, while rng_bit_generator stays an unfused op with its own
+    # HBM round trip — so the default stays threefry and 'rbg' is a knob
+    # for shapes where mask generation dominates. Streams differ across
+    # impls (same seed, different masks) but both are valid dropout;
+    # torch-parity tests run dropout off, and same-config paths (fit vs
+    # fit_cached, multi-step vs sequential) share the impl on both arms.
+    rng_impl: Optional[str] = None
+    # AdamW first-moment (mu) storage dtype; None = fp32 (torch parity).
+    # 'bfloat16' halves the mu stream's HBM traffic and the optimizer's
+    # memory footprint (optax.adamw mu_dtype; update math stays fp32).
+    # The second moment stays fp32 — bf16's 8-bit mantissa distorts
+    # 1/sqrt(nu) too much. MEASURED perf-neutral on the 50salads step
+    # (1.001x, tools/measure_r3.py measure_mu_dtype) — it's a MEMORY
+    # knob: -25% optimizer state for models where that matters.
+    opt_mu_dtype: Optional[str] = None
 
 
 @dataclass(frozen=True)

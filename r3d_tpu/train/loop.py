@@ -254,6 +254,19 @@ class Trainer:
         metrics["loss"] = total
         return total, metrics
 
+    # ------------------------------------------------------------------ rng
+    def _base_key(self, seed: int):
+        """Base dropout key for a fit run. TrainConfig.rng_impl selects the
+        bit-generator: None keeps JAX's default threefry2x32; 'rbg' draws
+        from the TPU hardware RNG (measured SLOWER at the 50salads shape —
+        0.83x, see the config field note and tools/measure_r3.py). Every
+        per-step key derives from this one via fold_in, so the impl
+        propagates to all dropout."""
+        impl = self.config.train.rng_impl
+        if impl is None:
+            return jax.random.PRNGKey(seed)
+        return jax.random.key(seed, impl=impl)
+
     # ------------------------------------------------------------- train step
     def _train_step_core(self, state: TrainState, batch, rng, epoch):
         """One un-jitted train step: forward, losses, backward, AdamW, BN.
@@ -419,7 +432,7 @@ class Trainer:
         eval_step = self.make_eval_step()
         K = max(1, cfg.steps_per_dispatch)
         multi_step = self.make_multi_step() if K > 1 else None
-        rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_epoch)
+        rng = jax.random.fold_in(self._base_key(seed), start_epoch)
 
         def host_batches(loader):
             """min-batch filter + host-side extras (seg_ids)."""
@@ -669,7 +682,7 @@ class Trainer:
         step_fn = self.make_cached_train_fn(cache)
         eval_step = self.make_eval_step()
         K = max(1, cfg.steps_per_dispatch)
-        rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_epoch)
+        rng = jax.random.fold_in(self._base_key(seed), start_epoch)
         data = cache.data
         idx_sharding = None
         if self.mesh is not None:

@@ -54,4 +54,8 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTran
         b2=0.999,
         eps=1e-8,
         weight_decay=cfg.weight_decay,
+        # None = fp32 (matches torch.optim.AdamW state). 'bfloat16' halves
+        # the first-moment stream's HBM traffic + optimizer memory; the
+        # update math is still fp32 (optax casts mu back per step).
+        mu_dtype=cfg.opt_mu_dtype,
     )

@@ -418,3 +418,56 @@ def test_sharded_predict_matches_single_device(mesh8):
     for k in res_single:
         np.testing.assert_allclose(res_cached[k], res_single[k], atol=2e-5,
                                    err_msg=k)
+
+
+def test_cli_train_automesh(tmp_path):
+    """cli.run.train on a multi-device host must auto-build the MeshConfig
+    mesh (the reference wraps in nn.DataParallel unconditionally,
+    main_utkinects.py:129) and complete an epoch through the device-cached
+    fit path with the batch index tables sharded over dp."""
+    import dataclasses
+    import os
+
+    from r3d_tpu.cli.run import train as cli_train
+    from r3d_tpu.config import CONFIGS
+
+    root = tmp_path / "utkinect"
+    rng = np.random.RandomState(0)
+    acts = [f"a{i}" for i in range(5)]
+    for d in ["features_img", "features_depth", "groundTruth", "splits"]:
+        os.makedirs(root / d, exist_ok=True)
+    (root / "mapping_l2_changed.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(acts)))
+    vids = []
+    for v in range(4):
+        L = int(rng.randint(50, 70))
+        labels = [acts[int(x)] for x in (np.arange(L) // 9) % 5]
+        np.save(root / "features_img" / f"v{v}.npy",
+                rng.randn(L, 16).astype(np.float32))
+        np.save(root / "features_depth" / f"v{v}.npy",
+                rng.randn(L, 6, 4).astype(np.float32))
+        with open(root / "groundTruth" / f"v{v}.txt", "w") as f:
+            for t, l in enumerate(labels):
+                f.write(f"img{t},{l},q{t % 3}\n")
+        vids.append(f"v{v}.txt")
+    (root / "splits" / "train_split.txt").write_text("\n".join(vids) + "\n")
+    (root / "splits" / "val_split.txt").write_text(vids[0] + "\n")
+
+    cfg = CONFIGS["utkinects"]
+    cfg = cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, data_root=str(tmp_path), seq_buckets=(64,),
+            depth_shape=(6, 4), train_obs_percs=(0.3, 0.5)),
+        model=dataclasses.replace(
+            cfg.model, hidden_dim=16, n_head=2, input_dim=16,
+            max_pos_len=64),
+        train=dataclasses.replace(
+            cfg.train, epochs=1, batch_size=8, min_train_batch=0,
+            save_dir=str(tmp_path / "save"), seeds=(1,)),
+    )
+    logs = []
+    trainer, state, _ = cli_train(cfg, seed=1, log=logs.append)
+    assert trainer.mesh is not None
+    assert dict(trainer.mesh.shape) == {"dp": 8, "tp": 1, "sp": 1}
+    assert any("mesh" in str(l) for l in logs)
+    assert np.isfinite(float(jnp.sum(jax.tree.leaves(state.params)[0])))

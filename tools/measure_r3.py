@@ -8,8 +8,13 @@ and interleave their timed windows).
    decoder cross-attention 20x3100) vs composed attention.
 3. Attention backward at the 50salads self-attention shape (B=64 bf16,
    VERDICT r2 #9): Pallas bwd kernel vs remat-composed bwd.
+4. Dropout PRNG impl (threefry vs TPU hardware 'rbg') on the 50salads
+   step — measured 0.833x (8.04 -> 9.65 ms): threefry fuses into the mask
+   consumers, rng_bit_generator doesn't. Default stays threefry.
+5. AdamW mu storage dtype fp32 vs bf16 — measured 1.001x (neutral);
+   shipped as an opt-in MEMORY knob (TrainConfig.opt_mu_dtype).
 
-Usage: python tools/measure_r3.py [bn|attn|bwd|all]
+Usage: python tools/measure_r3.py [fusion|attn|bwd|cross|rng|mu|all]
 """
 
 import os
@@ -193,6 +198,66 @@ def measure_cross_native(B=8):
     return best_a, best_b
 
 
+def measure_rng(B=8):
+    """TrainConfig.rng_impl: threefry2x32 (JAX default, software
+    counter-based bits) vs 'rbg' (TPU hardware RNG) on the dropout-heavy
+    50salads train step. The key is a step argument, so one make_train_step
+    lowers twice — once per key type — and the arms interleave."""
+    from tools.measure_r2 import make_futr_50s
+
+    tr, st, b = make_futr_50s("bfloat16", batch_size=B,
+                              feature_dtype="bfloat16")
+    step = tr.make_train_step()
+    key_tf = jax.random.PRNGKey(0)
+    key_rbg = jax.random.key(0, impl="rbg")
+    st2 = jax.tree.map(jnp.array, st)
+    step_tf = step.lower(st, b, key_tf, 0).compile()
+    step_rbg = step.lower(st2, b, key_rbg, 0).compile()
+    st, m = step_tf(st, b, key_tf, 0); float(m["loss"])
+    st2, m = step_rbg(st2, b, key_rbg, 0); float(m["loss"])
+    best_a = best_b = float("inf")
+    for _ in range(4):
+        s, st = _time_step(step_tf, st, b, key_tf, reps=1)
+        best_a = min(best_a, s)
+        s, st2 = _time_step(step_rbg, st2, b, key_rbg, reps=1)
+        best_b = min(best_b, s)
+    print(f"50salads B={B} train step: threefry {best_a*1e3:.3f} ms  "
+          f"rbg {best_b*1e3:.3f} ms  ({best_a/best_b:.3f}x)")
+    return best_a, best_b
+
+
+def measure_mu_dtype(B=8):
+    """AdamW first-moment storage dtype: fp32 (default) vs bf16
+    (TrainConfig.opt_mu_dtype) on the 50salads step — the trace puts the
+    AdamW update at ~0.65 ms/step, bandwidth-bound on 3 fp32 streams."""
+    import dataclasses
+
+    from tools.measure_r2 import make_futr_50s
+
+    rng = jax.random.PRNGKey(0)
+    tr_a, st_a, b_a = make_futr_50s("bfloat16", batch_size=B,
+                                    feature_dtype="bfloat16")
+    step_a = tr_a.make_train_step().lower(st_a, b_a, rng, 0).compile()
+    tr_b, st_b, b_b = make_futr_50s("bfloat16", batch_size=B,
+                                    feature_dtype="bfloat16")
+    tr_b.config = dataclasses.replace(
+        tr_b.config,
+        train=dataclasses.replace(tr_b.config.train, opt_mu_dtype="bfloat16"))
+    st_b = tr_b.init_state(jax.random.PRNGKey(0), b_b, steps_per_epoch=10)
+    step_b = tr_b.make_train_step().lower(st_b, b_b, rng, 0).compile()
+    st_a, m = step_a(st_a, b_a, rng, 0); float(m["loss"])
+    st_b, m = step_b(st_b, b_b, rng, 0); float(m["loss"])
+    best_a = best_b = float("inf")
+    for _ in range(4):
+        s, st_a = _time_step(step_a, st_a, b_a, rng, reps=1)
+        best_a = min(best_a, s)
+        s, st_b = _time_step(step_b, st_b, b_b, rng, reps=1)
+        best_b = min(best_b, s)
+    print(f"50salads B={B} train step: mu-fp32 {best_a*1e3:.3f} ms  "
+          f"mu-bf16 {best_b*1e3:.3f} ms  ({best_a/best_b:.3f}x)")
+    return best_a, best_b
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("fusion", "all"):
@@ -203,3 +268,7 @@ if __name__ == "__main__":
         measure_attn_bwd()
     if which in ("cross", "all"):
         measure_cross_native()
+    if which in ("rng", "all"):
+        measure_rng()
+    if which in ("mu", "all"):
+        measure_mu_dtype()
