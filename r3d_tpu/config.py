@@ -64,8 +64,10 @@ class DataConfig:
     # Bucketed static shapes for XLA. Sequences pad up to the smallest bucket.
     seq_buckets: Tuple[int, ...] = (128, 256, 512, 1024, 2000)
     depth_shape: Tuple[int, int] = (160, 120)  # utk (futr_safuser_batchnormalization.py:154)
-    # NTU normalizes the whole depth stack to [0,255] uint8 at load
-    # (basedataset_nturgbd.py:42-52)
+    # Whole-stack depth min-max to [0,255] uint8 at load. The reference
+    # DEFINES this for NTU (basedataset_nturgbd.py:42-52) but comments the
+    # call out at the load site (:148) — so it defaults OFF everywhere and
+    # exists as the documented-intent knob.
     normalize_depth: bool = False
     # gaze modality (basedataset_darai_gaze.py:95-186): per-video gaze CSVs
     # under this dir become the [S, 2] query stream
@@ -431,7 +433,10 @@ CONFIGS = {
         name="nturgbd",
         data=DataConfig(
             dataset="nturgbd", train_obs_percs=(0.2, 0.3, 0.5), depth_shape=(224, 224),
-            normalize_depth=True, feature_dtype="bfloat16",
+            # normalize_depth stays OFF: the reference defines the min-max
+            # helper but its load site comments the call out — depth loads
+            # raw (basedataset_nturgbd.py:148; test_nturgbd_parity.py)
+            normalize_depth=False, feature_dtype="bfloat16",
         ),
         model=ModelConfig(model="futr_fusion_bn", query_num=121,
                           embed_dtype="bfloat16"),
