@@ -85,7 +85,8 @@ def train(config: Config, seed: int, dataset_ops: str = "",
     metrics = MetricsLogger(path, run_name=f"seed_{seed}_metrics",
                             tensorboard=config.train.tensorboard)
     cache = None
-    if config.train.device_cache and not config.data.raw_frames:
+    if (config.train.device_cache and not config.data.raw_frames
+            and config.data.gaze_dir is None):
         from r3d_tpu.data.device_cache import cache_from_source
 
         try:
@@ -143,7 +144,8 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
     predictor = Predictor(config, model, source.n_class, mesh=mesh)
 
     cache_data = None
-    if config.train.device_cache and not config.data.raw_frames:
+    if (config.train.device_cache and not config.data.raw_frames
+            and config.data.gaze_dir is None):
         from r3d_tpu.data.device_cache import arrays_from_source
 
         try:

@@ -69,8 +69,12 @@ class DataConfig:
     # call out at the load site (:148) — so it defaults OFF everywhere and
     # exists as the documented-intent knob.
     normalize_depth: bool = False
+    # Static padded length of the gaze query stream (raw gaze sample counts
+    # are unrelated to the frame buckets); None = largest seq bucket.
+    # Overlong streams truncate (documented in COMPAT #31).
+    gaze_pad_len: Optional[int] = None
     # gaze modality (basedataset_darai_gaze.py:95-186): per-video gaze CSVs
-    # under this dir become the [S, 2] query stream
+    # under this dir become the [N, 2] query stream
     gaze_dir: Optional[str] = None
     # DARai multi-sequence on-disk layout (basedataset_darai_depth.py:44-82):
     # each split entry is a video whose sequences live as {base}_{seq}.txt /
@@ -426,6 +430,23 @@ CONFIGS = {
             loop="unsupervised", exclude_class_idx=None,
             l3_pad_idx=47, l3_exclude_idx=48, device_cache=True,
         ),
+        eval=EvalConfig(exclude_class_idx=16),  # make_gif.py:370
+    ),
+    # DARai gaze-query model (main_darai.py:19,34 comment toggles:
+    # basedataset_darai_gaze + futr_unsupervised_multimodal). The gaze model
+    # emits no 'l3' output, so it pairs with the supervised futr loop — the
+    # reference's unsupervised loop crashes on it (COMPAT #32).
+    "darai_gaze": _cfg(
+        name="darai_gaze",
+        data=DataConfig(
+            dataset="darai", sample_rate=15,
+            train_obs_percs=(0.2, 0.3, 0.5),
+            depth_features_dir=None, multi_sequence=True,
+            gaze_dir="gaze",
+        ),
+        # fc_seg is n_class-1 wide in the gaze reference (multimodal.py:59)
+        model=ModelConfig(model="futr_gaze", seg_excludes_none=True),
+        train=TrainConfig(loop="futr", exclude_class_idx=None),
         eval=EvalConfig(exclude_class_idx=16),  # make_gif.py:370
     ),
     # NTURGBD RGB-D fusion (main_nturgbd.py; fusion wiring, not the RNN ablation)

@@ -102,6 +102,16 @@ class VideoSource:
         base = vid_file.split(".")[0] if seq is None else f"{self._base(vid_file)}_{seq}"
         return os.path.join(self.features_path, base + ".npy")
 
+    def _gaze_file(self, vid_file: str) -> str:
+        # one gaze CSV per video id — the reference resolves the file from
+        # each gt row's image path, but the path only encodes (activity,
+        # video id), so the per-row existence check collapses to per-video
+        # (basedataset_darai_gaze.py:97-109,152-156)
+        return os.path.join(
+            _dataset_dir(self.cfg), self.cfg.gaze_dir,
+            vid_file.split(".")[0] + ".csv",
+        )
+
     def _depth_file(self, vid_file: str, seq: Optional[int] = None) -> str:
         if seq is None and not self.cfg.multi_sequence:
             return os.path.join(self.depth_path, vid_file.split(".")[0] + ".npy")
@@ -123,15 +133,25 @@ class VideoSource:
         a video with no (rewritten) depth file contributes nothing when a
         depth stream is configured.
         """
+        def gaze_ok(vid_file: str) -> bool:
+            # a video whose gaze CSV is missing yields zero valid gt rows in
+            # the reference (per-row existence filter) — its items collate
+            # away (basedataset_darai_gaze.py:152-158,270-281)
+            return self.cfg.gaze_dir is None or os.path.exists(
+                self._gaze_file(vid_file)
+            )
+
         if not self.cfg.multi_sequence:
-            return [(v, None) for v in self.vid_list]
+            return [
+                (v, None) for v in self.vid_list if gaze_ok(v.split("/")[-1])
+            ]
         out: List[Tuple[str, Optional[int]]] = []
         for vid in self.vid_list:
             vid_file = vid.split("/")[-1]
             depth_ok = self.depth_path is None or os.path.exists(
                 self._depth_file(vid_file, seq=1)
             )
-            if not depth_ok:
+            if not (depth_ok and gaze_ok(vid_file)):
                 continue
             seq = 1
             while True:
@@ -182,15 +202,13 @@ class VideoSource:
                 [self.query_dict[q.replace(" ", "")] for q in l3], np.int64
             )
         if self.cfg.gaze_dir is not None:
-            # gaze CSV -> normalized [S, 2] float query stream
-            # (basedataset_darai_gaze.py:169-186)
+            # gaze CSV -> min-max-normalized [N, 2] float stream; N is the
+            # RAW gaze sample count, unrelated to the frame count, and the
+            # observation window slices this stream directly
+            # (basedataset_darai_gaze.py:169-188)
             from r3d_tpu.data.preprocess.tools import gaze_csv_to_query
 
-            gaze_path = os.path.join(
-                _dataset_dir(self.cfg), self.cfg.gaze_dir,
-                vid_file.split(".")[0] + ".csv",
-            )
-            query_idx = gaze_csv_to_query(gaze_path, len(labels))
+            query_idx = gaze_csv_to_query(self._gaze_file(vid_file))
         meta = {
             "labels": labels, "label_idx": label_idx, "images": images,
             "l3": l3, "query_idx": query_idx,
@@ -280,9 +298,19 @@ class VideoSource:
             self._cache[key] = video
         return video
 
+    def _gaze_window(self, ex: Example, query_idx: np.ndarray,
+                     obs_perc: float) -> Example:
+        """Gaze query stream: the observation window slices the RAW gaze
+        stream by ``int(obs_perc * N_gaze)`` — no sample_rate subsampling,
+        length unrelated to the frame count (basedataset_darai_gaze.py:
+        186-188)."""
+        ex.query_label = query_idx[: int(obs_perc * len(query_idx))]
+        return ex
+
     def make_example(self, vid: str, obs_perc: float, sample_rate: int,
                      n_query: int, seq: Optional[int] = None) -> Example:
         vid_file = vid.split("/")[-1]
+        is_gaze = self.cfg.gaze_dir is not None
         if (self.cache == "native" and seq is None
                 and not self.cfg.multi_sequence and not self.cfg.raw_frames):
             from r3d_tpu.data import native
@@ -321,26 +349,34 @@ class VideoSource:
                             depth = dres[0].reshape(
                                 (n_rows,) + tuple(dshape[0][1:])
                             )
-                    return make_example_from_indices(
+                    ex = make_example_from_indices(
                         feats[:n], idx, obs_perc, sample_rate, n_query,
                         self.pad_idx, self.n_class,
                         depth_features=None if depth is None else depth[:n],
-                        query_idx=meta["query_idx"], vid_name=vid,
+                        query_idx=None if is_gaze else meta["query_idx"],
+                        vid_name=vid,
                         features_presliced=True,
                         future_frames=self.cfg.future_frames,
                     )
+                    if is_gaze:
+                        ex = self._gaze_window(ex, meta["query_idx"], obs_perc)
+                    return ex
             # fall through to the numpy path on any native failure
 
         from r3d_tpu.data.protocol import make_example_from_indices
 
         v = self.load_video(vid, seq)
-        return make_example_from_indices(
+        ex = make_example_from_indices(
             v["features"], v["label_idx"], obs_perc, sample_rate, n_query,
             self.pad_idx, self.n_class,
-            depth_features=v.get("depth"), query_idx=v["query_idx"],
+            depth_features=v.get("depth"),
+            query_idx=None if is_gaze else v["query_idx"],
             vid_name=vid if seq is None else f"{vid}::{seq}",
             future_frames=self.cfg.future_frames,
         )
+        if is_gaze:
+            ex = self._gaze_window(ex, v["query_idx"], obs_perc)
+        return ex
 
 
 def build_source(
@@ -396,4 +432,5 @@ def build_loader(
         query_pad_idx=(
             len(source.query_dict) if source.query_dict is not None else None
         ),
+        query_pad_len=cfg.gaze_pad_len,
     )

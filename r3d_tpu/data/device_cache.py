@@ -275,6 +275,11 @@ def arrays_from_source(source, cfg,
 def cache_from_source(source, cfg, n_query: int,
                       max_bytes: int = 12 << 30) -> DeviceCache:
     """Build from a datasets.VideoSource (flat or multi-sequence layout)."""
+    if cfg.gaze_dir is not None:
+        # gaze query streams window by raw gaze length, not the frame
+        # window (datasets.VideoSource._gaze_window) — the cached in-step
+        # assembly has no gaze gather; use the host loader
+        raise ValueError("device cache does not support gaze query streams")
     probe_footprint(source, cfg, max_bytes)
     videos = videos_from_source(source, cfg)
     return build_cache(

@@ -42,6 +42,7 @@ def pad_batch(
     with_query: bool = False,
     feature_dtype: str = "float32",
     query_pad_idx: Optional[int] = None,
+    query_pad_len: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Collate examples into fixed-shape arrays.
 
@@ -74,11 +75,21 @@ def pad_batch(
         d_feat = examples[0].depth_features
         depth = np.zeros((B, S) + d_feat.shape[1:], dtype=f_dtype)
     query = None
+    query_len = None
+    query_float = False
     if with_query:
         q0 = examples[0].query_label
-        if q0.ndim > 1 or np.issubdtype(q0.dtype, np.floating):
-            # continuous query stream (gaze [S, 2]): zero-pad
-            query = np.zeros((B, S) + q0.shape[1:], dtype=np.float32)
+        query_float = q0.ndim > 1 or np.issubdtype(q0.dtype, np.floating)
+        if query_float:
+            # continuous query stream (gaze [N, 2]): zero-padded to its OWN
+            # static length — raw gaze sample counts are unrelated to the
+            # frame bucket (basedataset_darai_gaze.py:186) — with the true
+            # per-row lengths in ``query_len`` so models can mask the pad
+            # rows out of the GazeCNN (reference zero-pads to the batch max,
+            # which makes outputs batch-composition-dependent; COMPAT #31)
+            Sq = int(query_pad_len) if query_pad_len else buckets[-1]
+            query = np.zeros((B, Sq) + q0.shape[1:], dtype=np.float32)
+            query_len = np.zeros((B,), dtype=np.int32)
         else:
             qpad = pad_idx if query_pad_idx is None else query_pad_idx
             query = np.full((B, S), qpad, dtype=np.int32)
@@ -93,7 +104,12 @@ def pad_batch(
         if with_depth:
             depth[i, :s] = e.depth_features[:s]
         if with_query:
-            query[i, :s] = e.query_label[:s]
+            if query_float:
+                sq = min(len(e.query_label), query.shape[1])
+                query[i, :sq] = e.query_label[:sq]
+                query_len[i] = sq
+            else:
+                query[i, :s] = e.query_label[:s]
 
     batch = {
         "features": features,
@@ -105,6 +121,8 @@ def pad_batch(
         batch["depth_features"] = depth
     if with_query:
         batch["query_label"] = query
+        if query_len is not None:
+            batch["query_len"] = query_len
     return batch
 
 
@@ -133,6 +151,7 @@ class BucketedLoader:
         example_lengths: Optional[Sequence[int]] = None,
         feature_dtype: str = "float32",
         query_pad_idx: Optional[int] = None,
+        query_pad_len: Optional[int] = None,
     ):
         self.num_examples = num_examples
         self.make_example_fn = make_example_fn
@@ -144,6 +163,7 @@ class BucketedLoader:
         self.with_query = with_query
         self.feature_dtype = feature_dtype
         self.query_pad_idx = query_pad_idx
+        self.query_pad_len = query_pad_len
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
@@ -192,6 +212,7 @@ class BucketedLoader:
                             with_depth=self.with_depth, with_query=self.with_query,
                             feature_dtype=self.feature_dtype,
                             query_pad_idx=self.query_pad_idx,
+                            query_pad_len=self.query_pad_len,
                         )
                     )
                 q.put(stop)

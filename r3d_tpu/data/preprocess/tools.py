@@ -106,10 +106,14 @@ def video_to_frames(
     return len(frames)
 
 
-def gaze_csv_to_query(csv_path: str, n_frames: int) -> np.ndarray:
-    """Gaze CSV -> [n_frames, 2] normalized (x, y)
-    (basedataset_darai_gaze.py:169-186): columns include x/y pixel positions;
-    normalized by their max; missing rows padded with the last value."""
+def gaze_csv_to_query(csv_path: str) -> np.ndarray:
+    """Gaze CSV -> [N, 2] min-max-normalized (x, y) stream
+    (basedataset_darai_gaze.py:169-186): the x/y pixel columns each normalize
+    as ``(v - min) / (max - min)`` in float64 (the reference's pandas dtype),
+    stack to [N, 2], and cast to float32 (torch.tensor(..., float32)).  The
+    observation window is applied by the CALLER as ``[:int(obs_perc * N)]``
+    of this raw stream — gaze is NOT subsampled by sample_rate and its length
+    is unrelated to the frame count (reference :186-188)."""
     import csv
 
     xs: List[float] = []
@@ -127,16 +131,12 @@ def gaze_csv_to_query(csv_path: str, n_frames: int) -> np.ndarray:
             except (ValueError, TypeError):
                 continue
     if not xs:
-        return np.zeros((n_frames, 2), np.float32)
-    x = np.array(xs, np.float32)
-    y = np.array(ys, np.float32)
-    x /= max(float(x.max()), 1e-6)
-    y /= max(float(y.max()), 1e-6)
-    g = np.stack([x, y], axis=1)
-    if len(g) >= n_frames:
-        return g[:n_frames]
-    pad = np.repeat(g[-1:], n_frames - len(g), axis=0)
-    return np.concatenate([g, pad], axis=0)
+        return np.zeros((0, 2), np.float32)
+    x = np.array(xs, np.float64)
+    y = np.array(ys, np.float64)
+    x = (x - x.min()) / max(float(x.max() - x.min()), np.finfo(np.float64).tiny)
+    y = (y - y.min()) / max(float(y.max() - y.min()), np.finfo(np.float64).tiny)
+    return np.stack([x, y], axis=1).astype(np.float32)
 
 
 def extract_clip_features(

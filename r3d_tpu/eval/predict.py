@@ -164,12 +164,19 @@ class Predictor:
             if "depth" in v:
                 item["depth"] = v["depth"][:past_len][::sample_rate]
             if self.needs_query and v.get("query_idx") is not None:
-                q = v["query_idx"][:past_len][::sample_rate]
-                if cfg.eval.query_mod2 and np.issubdtype(
-                    np.asarray(q).dtype, np.integer
-                ):
-                    q = alternating_query(np.asarray(q))
-                item["query"] = q
+                if cfg.data.gaze_dir is not None:
+                    # gaze stream: observation window over the RAW gaze
+                    # sample count, no subsampling
+                    # (basedataset_darai_gaze.py:186-188)
+                    g = v["query_idx"]
+                    item["query"] = g[: int(obs_p * len(g))]
+                else:
+                    q = v["query_idx"][:past_len][::sample_rate]
+                    if cfg.eval.query_mod2 and np.issubdtype(
+                        np.asarray(q).dtype, np.integer
+                    ):
+                        q = alternating_query(np.asarray(q))
+                    item["query"] = q
             groups[S].append(item)
         return groups
 
@@ -190,10 +197,19 @@ class Predictor:
         if "depth" in items[0]:
             depth = np.zeros((B, S) + items[0]["depth"].shape[1:], in_dtype)
         query = None
+        query_len = None
+        query_float = False
         if self.needs_query and "query" in items[0]:
             q0 = items[0]["query"]
-            if q0.ndim > 1 or np.issubdtype(q0.dtype, np.floating):
-                query = np.zeros((B, S) + q0.shape[1:], np.float32)
+            query_float = q0.ndim > 1 or np.issubdtype(q0.dtype, np.floating)
+            if query_float:
+                # gaze stream pads to its OWN static length (raw gaze counts
+                # are unrelated to the frame bucket) with true lengths so
+                # the GazeCNN masks the pad rows (COMPAT #31)
+                Sq = (self.config.data.gaze_pad_len
+                      or self.config.data.seq_buckets[-1])
+                query = np.zeros((B, Sq) + q0.shape[1:], np.float32)
+                query_len = np.zeros((B,), np.int32)
             else:
                 query = np.zeros((B, S), np.int32)
         for i, it in enumerate(items):
@@ -204,13 +220,20 @@ class Predictor:
             if depth is not None:
                 depth[i, :r] = it["depth"]
             if query is not None:
-                query[i, :r] = it["query"][:r]
+                if query_float:
+                    sq = min(len(it["query"]), query.shape[1])
+                    query[i, :sq] = it["query"][:sq]
+                    query_len[i] = sq
+                else:
+                    query[i, :r] = it["query"][:r]
         args = [jnp.asarray(feats)]
         if depth is not None:
             args.append(jnp.asarray(depth))
         elif self.needs_query:
             args.append(jnp.asarray(query) if query is not None else None)
         args.append(jnp.asarray(mask))
+        if query_len is not None:
+            args.append(jnp.asarray(query_len))
         if self.mesh is not None:
             from r3d_tpu.parallel.mesh import batch_sharding
 

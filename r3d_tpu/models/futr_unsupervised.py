@@ -56,20 +56,45 @@ class GazeCNN(nn.Module):
     [B, S, 1, 2] signal, then adaptive pooling. The reference pools the
     width-1 axis UP to ``output_steps`` (AdaptiveAvgPool2d((1, 8)) on a
     [B, C, S, 1] map), which replicates the temporal mean — i.e. the 8 query
-    slots are identical before PE; reproduced faithfully."""
+    slots are identical before PE; reproduced faithfully.  ``output_steps``
+    is ALWAYS 8 in the reference (GazeCNN ctor default, never overridden,
+    multimodal.py:82) regardless of n_query — the decoder output pools
+    8 -> n_query afterwards.
+
+    ``lengths`` masks zero-padded gaze rows out of every conv and the
+    temporal mean so a bucketed batch reproduces the reference's unpadded
+    per-video forward exactly (COMPAT #31: the reference's own train-time
+    zero-pad leaks conv bias from pad rows into the mean, making outputs
+    batch-composition-dependent; test mode is per-video/unpadded)."""
 
     hidden_dim: int
     output_steps: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, gaze: jnp.ndarray) -> jnp.ndarray:  # [B, S, 2]
+    def __call__(self, gaze: jnp.ndarray,
+                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         x = gaze.astype(self.dtype)[:, :, None, :]  # NHWC: [B, S, 1, 2]
+        row_ok = None
+        if lengths is not None:
+            S = x.shape[1]
+            row_ok = (
+                jnp.arange(S)[None, :] < lengths[:, None]
+            )[:, :, None, None].astype(x.dtype)
+            x = x * row_ok
         for i, ch in enumerate((32, 64, self.hidden_dim)):
             x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
             x = nn.relu(x)
-        pooled = jnp.mean(x, axis=(1, 2))  # [B, C] (mean over S and the w=1 axis)
+            if row_ok is not None:
+                # zero rows >= length: the next conv then sees the same
+                # zero boundary its unpadded run would get from SAME padding
+                x = x * row_ok
+        if row_ok is None:
+            pooled = jnp.mean(x, axis=(1, 2))  # [B, C]
+        else:
+            denom = jnp.maximum(lengths, 1).astype(x.dtype)[:, None]
+            pooled = jnp.sum(x, axis=(1, 2)) / denom
         return jnp.repeat(pooled[:, None, :], self.output_steps, axis=1)
 
 
@@ -88,6 +113,7 @@ class FUTRUnsupervised(nn.Module):
         features: jnp.ndarray,
         query: Optional[jnp.ndarray] = None,      # [B, S] L3 label ids (gt mode)
         src_pad_mask: Optional[jnp.ndarray] = None,
+        query_len: Optional[jnp.ndarray] = None,  # [B] true gaze rows (gaze mode)
         *,
         train: bool = False,
     ) -> Dict[str, jnp.ndarray]:
@@ -127,12 +153,20 @@ class FUTRUnsupervised(nn.Module):
             action_query = q_emb + pe[None].astype(q_emb.dtype)
         elif self.query_source == "gaze":
             # futr_unsupervised_multimodal.py: GazeCNN queries + L2-normalized
-            # sinusoidal PE over the first n_query positions
-            assert query is not None, "gaze mode needs the [B, S, 2] gaze signal"
-            q = GazeCNN(cfg.hidden_dim, cfg.n_query, dtype=dt, name="gaze_cnn")(
-                query.astype(dt)
+            # sinusoidal PE over the first 8 positions (GazeCNN output_steps
+            # is always 8 and the PE slice is the literal ``[:, :8]``,
+            # multimodal.py:82,125); the decoder output pools 8 -> n_query
+            # below.  ``query.long()`` (multimodal.py:95) floors the
+            # normalized gaze to {0, 1} before the CNN — reproduced.
+            assert query is not None, "gaze mode needs the [B, N, 2] gaze signal"
+            q_in = jnp.trunc(query.astype(jnp.float32))
+            q = GazeCNN(cfg.hidden_dim, dtype=dt, name="gaze_cnn")(
+                q_in.astype(dt), query_len
             )
-            pe_q = pe[: cfg.n_query]
+            pe_full = sinusoidal_positional_encoding(
+                cfg.max_pos_len, cfg.hidden_dim
+            )
+            pe_q = pe_full[:8]
             pe_q = pe_q / jnp.maximum(
                 jnp.linalg.norm(pe_q, axis=-1, keepdims=True), 1e-12
             )
@@ -199,9 +233,10 @@ class FUTRUnsupervised(nn.Module):
         )
 
         pool_after_decode = self.query_source in ("gt", "depth")
+        gaze_mode = self.query_source == "gaze"
         pooled_query = (
             action_query
-            if self.variant == "temp2" or pool_after_decode
+            if self.variant == "temp2" or pool_after_decode or gaze_mode
             else adaptive_avg_pool1d(action_query, cfg.n_query)
         )
 
@@ -225,13 +260,22 @@ class FUTRUnsupervised(nn.Module):
                 hs = masked_adaptive_avg_pool1d(hs, cfg.n_query, lengths)
             else:
                 hs = adaptive_avg_pool1d(hs, cfg.n_query)
+        elif gaze_mode:
+            # multimodal.py:146: pooled_tgt over the decoder's 8 gaze-query
+            # rows (all real — plain pool; identity when n_query == 8)
+            hs = adaptive_avg_pool1d(hs, cfg.n_query)
 
         out = Heads(cfg, self.n_class, name="heads")(
             hs, memory if seg_override is None else seg_override
         )
-        out["l3"] = nn.Dense(
-            cfg.query_num, kernel_init=xavier, dtype=dt, name="fc_l3"
-        )(query_stream).astype(jnp.float32)
+        if not gaze_mode:
+            # the gaze model has NO fc_l3 head or 'l3' output
+            # (futr_unsupervised_multimodal.py emits action/duration/seg/
+            # supcon only) — pairing it with the unsupervised loop's focal-L3
+            # term crashes in the reference too (train_unsupervised.py:297)
+            out["l3"] = nn.Dense(
+                cfg.query_num, kernel_init=xavier, dtype=dt, name="fc_l3"
+            )(query_stream).astype(jnp.float32)
         if self.variant not in ("temp2", "temp3"):
             # temp2/temp3 drop the supcon output (temp2 diff: commented out)
             out["supcon"] = query_stream

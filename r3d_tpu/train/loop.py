@@ -95,7 +95,11 @@ class Trainer:
         if self.is_fusion:
             return (batch["features"], batch["depth_features"], mask)
         if self.needs_query:
-            return (batch["features"], batch.get("query_label"), mask)
+            # 4th slot: true gaze-row counts (query_len) so the GazeCNN can
+            # mask bucket padding (pipeline.pad_batch emits it for float
+            # query streams; None for int L3 queries)
+            return (batch["features"], batch.get("query_label"), mask,
+                    batch.get("query_len"))
         return (batch["features"], mask)
 
     # ------------------------------------------------------------- loss logic
@@ -287,7 +291,8 @@ class Trainer:
             if is_fusion:
                 args = (batch["features"], batch["depth_features"], mask)
             elif self.needs_query:
-                args = (batch["features"], batch.get("query_label"), mask)
+                args = (batch["features"], batch.get("query_label"), mask,
+                        batch.get("query_len"))
             else:
                 args = (batch["features"], mask)
             outputs, mutated = model.apply(
@@ -406,7 +411,8 @@ class Trainer:
             if is_fusion:
                 args = (batch["features"], batch["depth_features"], None)
             elif self.needs_query:
-                args = (batch["features"], batch.get("query_label"), None)
+                args = (batch["features"], batch.get("query_label"), None,
+                        batch.get("query_len"))
             else:
                 args = (batch["features"], None)
             outputs = model.apply(variables, *args, train=False)
@@ -508,16 +514,28 @@ class Trainer:
                     feats.shape[ax]
                     if feats is not None and feats.ndim > ax else -1
                 )
+                # a remainder batch smaller than the dp extent can't split
+                # over dp — replicate its batch axis (it compiles its own
+                # program for the new B anyway)
+                b_ax = ax - 1
+                B = feats.shape[b_ax] if feats is not None else 0
+                dp = self.mesh.shape.get("dp", 1)
+                dp_batch = dp_ax if B % max(dp, 1) == 0 else None
+                batch_sh = (
+                    sharding if n_steps == 1 else stacked_sharding
+                ) if dp_batch is not None else NamedSharding(
+                    self.mesh, P() if n_steps == 1 else P(None)
+                )
                 out = {}
                 for k, v in batch.items():
-                    sh = sharding if n_steps == 1 else stacked_sharding
+                    sh = batch_sh
                     if (
                         sp > 1 and hasattr(v, "ndim") and v.ndim > ax
                         and v.shape[ax] == S and S % sp == 0
                     ):
                         spec = (
-                            P(dp_ax, "sp") if n_steps == 1
-                            else P(None, dp_ax, "sp")
+                            P(dp_batch, "sp") if n_steps == 1
+                            else P(None, dp_batch, "sp")
                         )
                         sh = NamedSharding(self.mesh, spec)
                     out[k] = jax.device_put(v, sh)

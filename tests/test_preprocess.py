@@ -183,7 +183,10 @@ def test_action_intervals_to_gt():
 def test_gaze_csv(tmp_path):
     p = tmp_path / "gaze.csv"
     p.write_text("gaze_x,gaze_y\n10,20\n20,40\n,\n30,60\n")
-    g = gaze_csv_to_query(str(p), 5)
-    assert g.shape == (5, 2)
-    np.testing.assert_allclose(g[2], [1.0, 1.0])  # max-normalized
-    np.testing.assert_allclose(g[3], g[2])        # padded with last
+    g = gaze_csv_to_query(str(p))
+    # RAW stream length (malformed row dropped); min-max normalized per axis
+    # (basedataset_darai_gaze.py:169-186) — window slicing is the caller's
+    assert g.shape == (3, 2)
+    np.testing.assert_allclose(g[0], [0.0, 0.0])
+    np.testing.assert_allclose(g[1], [0.5, 0.5])
+    np.testing.assert_allclose(g[2], [1.0, 1.0])

@@ -305,3 +305,27 @@ def futr_params_common(t_model, use_encoder=False):
     linear(p["heads"], "fc_len", t_model.fc_len)
     linear(p["heads"], "fc_seg", t_model.fc_seg)
     return p
+
+
+def conv2d(params, prefix, t_conv):
+    """torch nn.Conv2d [out,in,kh,kw] -> flax nn.Conv (NHWC) [kh,kw,in,out]."""
+    params[prefix] = {
+        "kernel": t2n(t_conv.weight).transpose(2, 3, 1, 0),
+        "bias": t2n(t_conv.bias),
+    }
+
+
+def gaze_params(t_model, use_encoder=False):
+    """Reference model/futr_unsupervised_multimodal.py ->
+    FUTRUnsupervised(query_source='gaze') tree. The reference ctor builds a
+    query_embed it never uses in forward (multimodal.py:54) — not mapped."""
+    p = {"embed": {}, "heads": {}, "gaze_cnn": {}}
+    linear(p["embed"], "input_embed", t_model.input_embed)
+    p["pos_embedding"] = t2n(t_model.pos_embedding)
+    p["transformer"] = transformer_params(t_model.transformer, use_encoder)
+    linear(p["heads"], "fc", t_model.fc)
+    linear(p["heads"], "fc_len", t_model.fc_len)
+    linear(p["heads"], "fc_seg", t_model.fc_seg)
+    for name in ("conv1", "conv2", "conv3"):
+        conv2d(p["gaze_cnn"], name, getattr(t_model.gaze_cnn, name))
+    return p
