@@ -23,6 +23,9 @@ def is_fusion_model(name: str) -> bool:
 def build_model(cfg: ModelConfig, n_class: int) -> Any:
     if cfg.model == "futr":
         return FUTR(cfg, n_class)
+    if cfg.model == "futr_baseline":
+        # model/futr_baseline.py: futr + output['supcon'] = decoder output
+        return FUTR(cfg, n_class, emit_supcon=True)
     if cfg.model in _FUSION_MODELS:
         return FUTRFusion(cfg, n_class)
     if cfg.model in (

@@ -83,10 +83,17 @@ class Heads(nn.Module):
 
 
 class FUTR(nn.Module):
-    """Baseline FUTR (reference model/futr.py)."""
+    """Baseline FUTR (reference model/futr.py).
+
+    ``emit_supcon=True`` is the futr_baseline variant (model/futr_baseline.py):
+    the same forward plus ``output['supcon'] = tgt`` — the raw decoder output
+    (futr_baseline.py:128).  Its ctor-only extras (positional_embedding_l3,
+    pos_enc) never appear in the forward and carry no parameters worth
+    reproducing."""
 
     cfg: ModelConfig
     n_class: int
+    emit_supcon: bool = False
 
     @nn.compact
     def __call__(
@@ -124,4 +131,7 @@ class FUTR(nn.Module):
             dtype=_dtype(cfg), name="transformer",
         )(src, pos, action_query, src_pad_mask, deterministic=not train)
 
-        return Heads(cfg, self.n_class, name="heads")(hs, memory)
+        out = Heads(cfg, self.n_class, name="heads")(hs, memory)
+        if self.emit_supcon:
+            out["supcon"] = hs.astype(jnp.float32)
+        return out

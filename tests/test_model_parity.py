@@ -230,3 +230,52 @@ def test_grad_probe_fuser_eval_parity():
     out = ours.apply({"params": params}, jnp.array(rgb), jnp.array(depth),
                      train=False)
     np.testing.assert_allclose(np.array(out), ref_out.numpy(), atol=2e-4)
+
+
+def test_futr_baseline_forward_parity_eval():
+    """model/futr_baseline.py = futr + output['supcon'] = decoder output
+    (futr_baseline.py:128); weight-copy parity incl. the supcon stream."""
+    from model.futr_baseline import FUTR as RefBaseline
+
+    from r3d_tpu.models import build_model
+
+    cfg = small_cfg(model="futr_baseline")
+    args = torch_ref.RefArgs(
+        input_dim=cfg.input_dim, max_pos_len=cfg.max_pos_len,
+    )
+    torch.manual_seed(1)
+    ref = RefBaseline(
+        N_CLASS, cfg.hidden_dim, PAD_IDX, torch.device("cpu"), args,
+        n_query=cfg.n_query, n_head=cfg.n_head,
+        num_encoder_layers=cfg.n_encoder_layers,
+        num_decoder_layers=cfg.n_decoder_layers,
+    )
+    ref.eval()
+    torch_ref.zero_dropout(ref)
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 36, cfg.input_dim).astype(np.float32)
+    labels = rng.randint(0, N_CLASS - 1, size=(2, 36))
+    with torch.no_grad():
+        # test mode still unpacks ``src, _ = inputs`` (futr_baseline.py:77)
+        out_eval = ref((torch.tensor(x), None), mode="test")
+        out_train = ref(
+            (torch.tensor(x), torch.tensor(labels)), mode="train"
+        )
+
+    ours = build_model(cfg, N_CLASS)
+    params = jax.tree.map(jnp.asarray, torch_ref.futr_params(ref))
+    got_eval = ours.apply({"params": params}, jnp.array(x), train=False)
+    got_train = ours.apply(
+        {"params": params}, jnp.array(x),
+        jnp.array(labels == PAD_IDX), train=False,
+    )
+    for key in ("action", "duration", "seg", "supcon"):
+        np.testing.assert_allclose(
+            np.array(got_eval[key]), out_eval[key].numpy(), atol=2e-4,
+            err_msg=f"eval {key}",
+        )
+        np.testing.assert_allclose(
+            np.array(got_train[key]), out_train[key].numpy(), atol=2e-4,
+            err_msg=f"train {key}",
+        )
