@@ -18,28 +18,55 @@ from flax import linen as nn
 
 from r3d_tpu.config import ModelConfig
 from r3d_tpu.models.futr import InputEmbed, _dtype
-from r3d_tpu.models.layers import adaptive_avg_pool1d, xavier
+from r3d_tpu.models.layers import (
+    adaptive_avg_pool1d, masked_adaptive_avg_pool1d, xavier,
+)
+
+
+def _lengths(src_pad_mask: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """True-row counts from a (True = pad) suffix mask; None passes through."""
+    if src_pad_mask is None:
+        return None
+    return jnp.sum(~src_pad_mask, axis=-1).astype(jnp.int32)
+
+
+def _pool8(x: jnp.ndarray, lengths: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """pool(8) over only each row's TRUE length: the reference evaluates
+    per-video/unpadded (predict_nturgbd.py:304, B=1), so bucketed batches
+    must pool with per-row bin edges or pad rows shift every bin
+    (same rule as COMPAT #28 for the S-query models)."""
+    if lengths is None:
+        return adaptive_avg_pool1d(x, 8)  # rnn.py:97 hard-codes 8
+    return masked_adaptive_avg_pool1d(x, 8, lengths)
 
 
 class LSTMStack(nn.Module):
     """2-layer bidirectional LSTM, torch nn.LSTM semantics
-    (rnn.py:20-21: hidden = dim//2 per direction, concat -> dim)."""
+    (rnn.py:20-21: hidden = dim//2 per direction, concat -> dim).
+
+    ``seq_lengths`` makes the REVERSE pass start at each row's last true
+    frame instead of the bucket's zero pad rows — without it a padded batch
+    feeds pad state into every real row's backward direction and the
+    bucketed forward diverges from the reference's unpadded per-video run.
+    (Forward-direction pad contamination only reaches pad-row outputs,
+    which downstream pooling/heads discard.)"""
 
     hidden: int
     num_layers: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 seq_lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = self.hidden // 2
         for layer in range(self.num_layers):
             fwd = nn.RNN(
                 nn.OptimizedLSTMCell(h), name=f"l{layer}_fwd"
-            )(x)
+            )(x, seq_lengths=seq_lengths)
             bwd = nn.RNN(
                 nn.OptimizedLSTMCell(h), reverse=True, keep_order=True,
                 name=f"l{layer}_bwd",
-            )(x)
+            )(x, seq_lengths=seq_lengths)
             x = jnp.concatenate([fwd, bwd], axis=-1)
         return x
 
@@ -53,11 +80,14 @@ class RNNAnticipator(nn.Module):
     @nn.compact
     def __call__(self, features, src_pad_mask=None, *, train: bool = False) -> Dict:
         cfg = self.cfg
+        lengths = _lengths(src_pad_mask)
         src = InputEmbed(cfg, self.n_class, name="embed")(features)
-        rnn_out = LSTMStack(cfg.hidden_dim, dtype=_dtype(cfg), name="rnn")(src)
+        rnn_out = LSTMStack(cfg.hidden_dim, dtype=_dtype(cfg), name="rnn")(
+            src, lengths
+        )
         tgt = nn.Dense(cfg.hidden_dim, kernel_init=xavier, dtype=_dtype(cfg),
                        name="rnn_fc")(rnn_out)
-        pooled = adaptive_avg_pool1d(tgt, 8)  # rnn.py:97 hard-codes 8
+        pooled = _pool8(tgt, lengths)
         out: Dict = {}
         if cfg.anticipate:
             out["action"] = nn.Dense(self.n_class, kernel_init=xavier,
@@ -80,8 +110,9 @@ class CNNAnticipator(nn.Module):
     @nn.compact
     def __call__(self, features, src_pad_mask=None, *, train: bool = False) -> Dict:
         cfg = self.cfg
+        lengths = _lengths(src_pad_mask)
         src = InputEmbed(cfg, self.n_class, name="embed")(features)
-        pooled = adaptive_avg_pool1d(src, 8)
+        pooled = _pool8(src, lengths)
         out: Dict = {}
         if cfg.anticipate:
             out["action"] = nn.Dense(self.n_class, kernel_init=xavier,
@@ -164,5 +195,16 @@ class TCNAnticipator(nn.Module):
         )(x)  # [B, T, Q*C]
         B, T, _ = logits.shape
         logits = logits.reshape(B, T, self.anticipated_frames, self.n_class)
-        action = jnp.mean(logits, axis=1).astype(jnp.float32)  # mean over time
-        return {"action": action}
+        lengths = _lengths(src_pad_mask)
+        if lengths is None:
+            action = jnp.mean(logits, axis=1)  # mean over time
+        else:
+            # causal (left-pad-only) convs keep valid rows clean of suffix
+            # padding; only the temporal mean needs the true length
+            valid = (
+                jnp.arange(T)[None, :] < lengths[:, None]
+            ).astype(logits.dtype)[..., None, None]
+            action = jnp.sum(logits * valid, axis=1) / jnp.maximum(
+                lengths, 1
+            ).astype(logits.dtype)[:, None, None]
+        return {"action": action.astype(jnp.float32)}

@@ -242,3 +242,40 @@ def test_tcn_train_convergence_matches_corrected_loop():
 
     np.testing.assert_allclose(our_losses, torch_losses, rtol=1e-3)
     assert our_val == torch_val
+
+
+def test_padded_bucket_matches_unpadded():
+    """Bucket padding must not change baseline outputs: the reference
+    evaluates per-video/unpadded (predict_nturgbd.py:304, B=1); the masked
+    BiLSTM (seq_lengths), per-row pool(8) bins, and masked TCN temporal mean
+    make the batched forward equal the per-video one."""
+    rng = np.random.RandomState(3)
+    cfg = small_cfg("rnn")
+    for M in (RNNAnticipator, CNNAnticipator, TCNAnticipator):
+        m = M(cfg, N_CLASS)
+        B, S = 2, 24
+        lens = [13, 19]
+        x = np.zeros((B, S, 16), np.float32)
+        singles, params = [], None
+        for i in range(B):
+            xi = rng.randn(1, lens[i], 16).astype(np.float32)
+            x[i, : lens[i]] = xi[0]
+            if params is None:
+                params = m.init(
+                    jax.random.PRNGKey(0), jnp.array(x), None, train=False
+                )
+            singles.append(m.apply(params, jnp.array(xi), None, train=False))
+        mask = np.ones((B, S), bool)
+        for i in range(B):
+            mask[i, : lens[i]] = False
+        out = m.apply(params, jnp.array(x), jnp.array(mask), train=False)
+        for k in out:
+            if k == "supcon":
+                continue
+            got = np.array(out[k])
+            for i in range(B):
+                want_i = np.array(singles[i][k])[0]
+                got_i = got[i, : lens[i]] if k == "seg" else got[i]
+                np.testing.assert_allclose(
+                    got_i, want_i, atol=2e-5, err_msg=f"{M.__name__}.{k}"
+                )

@@ -461,3 +461,105 @@ def test_50salads_e2e_moc_parity(salads_disk, tmp_path, obs_p):
         got = res[f"obs{o}_pred{p}"]
         assert abs(got - want) < 5.1e-5, (o, p, got, want)
     np.testing.assert_allclose(res["ant_acc"], ref_ant, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# nturgbd: the LIVE NTU model is the RNN (main_nturgbd.py:20) and its sweep
+# calls it RGB-only (predict_nturgbd.py:305 — the fusion call sits commented
+# at :304); exclusion id is 120 (:330). Depth features must exist on disk
+# (loaded unconditionally, :273) even though the model never consumes them.
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ntu_disk(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e_ntu") / "datasets" / "nturgbd"
+    rng = np.random.RandomState(41)
+    acts = [f"a{i}" for i in range(N_ACTIONS)]
+    for d in ["features", "features_depth", "groundTruth", "splits"]:
+        os.makedirs(root / d, exist_ok=True)
+    (root / "mapping_l2_changed.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(acts))
+    )
+    vids = []
+    for v in range(5):
+        L = int(rng.randint(46, 90))
+        labels = []
+        while len(labels) < L:
+            labels.extend([acts[rng.randint(N_ACTIONS)]] * rng.randint(5, 14))
+        labels = labels[:L]
+        np.save(root / "features" / f"v{v}.npy",
+                rng.randn(L, IN_DIM).astype(np.float32))
+        np.save(root / "features_depth" / f"v{v}.npy",
+                rng.randn(L, DEPTH_DIM).astype(np.float32))
+        with open(root / "groundTruth" / f"v{v}.txt", "w") as f:
+            for t, l in enumerate(labels):
+                f.write(f"img{t},{l},q{t % 3}\n")
+        vids.append(f"v{v}.txt")
+    (root / "splits" / "train_split.txt").write_text("\n".join(vids) + "\n")
+    return root
+
+
+@pytest.mark.parametrize("obs_p", [0.2, 0.3])
+def test_nturgbd_e2e_moc_parity(ntu_disk, tmp_path, obs_p):
+    """evaluation/predict_nturgbd.predict with the live RNN model on
+    torch-CPU vs our Predictor(model='rnn') on the same files + converted
+    weights — MoC table + weighted ant acc + seg acc.  Also pins the
+    bucketed-batch masking: the reference runs B=1 unpadded, so our padded
+    buckets must mask the BiLSTM reverse pass and the pool(8) bins."""
+    import dataclasses
+
+    from predict_nturgbd import predict as ref_predict
+    from model.rnn import FUTR as RefRNN
+
+    args = torch_ref.RefArgs(input_dim=IN_DIM, max_pos_len=128,
+                             sample_rate=SR, dataset="nturgbd")
+    torch.manual_seed(17)
+    ref_model = RefRNN(
+        N_CLASS, HID, PAD_IDX, torch.device("cpu"), args, n_query=NQ,
+        n_head=4, num_encoder_layers=1, num_decoder_layers=1,
+    )
+    ref_model.eval()
+    torch_ref.zero_dropout(ref_model)
+
+    vid_list = sorted(
+        f for f in os.listdir(ntu_disk / "groundTruth") if f.endswith(".txt")
+    )
+    buf = io.StringIO()
+    with chdir(ntu_disk.parent.parent), redirected_refpaths(tmp_path):
+        with contextlib.redirect_stdout(buf):
+            ref_ant, ref_seg = ref_predict(
+                ref_model, vid_list, args, obs_p, N_CLASS,
+                dict_of_actions(ntu_disk), torch.device("cpu"),
+            )
+    ref_moc = parse_moc(buf.getvalue())
+    assert len(ref_moc) == 4
+
+    base = get_config("nturgbd")
+    cfg = base.replace(
+        data=dataclasses.replace(
+            base.data, data_root=str(ntu_disk.parent),
+            features_dir="features", depth_features_dir=None,
+            seq_buckets=(64, 128), sample_rate=SR, feature_dtype="float32",
+        ),
+        model=ModelConfig(
+            model="rnn", hidden_dim=HID, n_query=NQ, input_dim=IN_DIM,
+            max_pos_len=128, compute_dtype="float32",
+        ),
+        train=TrainConfig(loop="futr", min_train_batch=0),
+    )
+    source = build_source(cfg.data, "train_split.txt")
+    assert source.n_class == N_CLASS and source.pad_idx == PAD_IDX
+    model = build_model(cfg.model, source.n_class)
+    params = jax.tree.map(
+        jnp.asarray, torch_ref.rnn_baseline_params(ref_model)
+    )
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    res = predictor.predict(
+        {"params": params}, source, obs_p, log=lambda *a: None
+    )
+
+    for (o, p), want in ref_moc.items():
+        got = res[f"obs{o}_pred{p}"]
+        assert abs(got - want) < 5.1e-5, (o, p, got, want)
+    np.testing.assert_allclose(res["ant_acc"], ref_ant, atol=1e-6)
+    np.testing.assert_allclose(res["seg_acc"], ref_seg, atol=1e-6)
