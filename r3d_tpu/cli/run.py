@@ -84,7 +84,7 @@ def train(config: Config, seed: int, dataset_ops: str = "",
 
     metrics = MetricsLogger(path, run_name=f"seed_{seed}_metrics",
                             tensorboard=config.train.tensorboard)
-    cache = None
+    cache = hybrid = None
     if (config.train.device_cache and not config.data.raw_frames
             and config.data.gaze_dir is None):
         from r3d_tpu.data.device_cache import cache_from_source
@@ -100,7 +100,24 @@ def train(config: Config, seed: int, dataset_ops: str = "",
         except MemoryError as e:
             val_cache = None
             if cache is None:
-                log(f"device cache disabled: {e}")
+                log(f"device cache over budget: {e}")
+                if mesh is None and not config.data.multi_sequence:
+                    # partial residency: cache the units that fit, stream
+                    # the rest — batch composition unchanged (fit_hybrid
+                    # == fit bit-exactly, tests/test_hybrid_cache.py)
+                    from r3d_tpu.data.device_cache import (
+                        hybrid_cache_from_source,
+                    )
+
+                    try:
+                        hybrid = hybrid_cache_from_source(
+                            src, config.data, config.model.n_query
+                        )
+                        log(f"hybrid cache: {hybrid.cache.nbytes >> 20} MiB "
+                            f"in HBM, {100 * (1 - hybrid.host_frac):.0f}% of "
+                            f"views device-resident")
+                    except (MemoryError, ValueError) as e2:
+                        log(f"hybrid cache unavailable: {e2}")
             else:
                 log(f"device cache: train only ({cache.nbytes >> 20} MiB); "
                     f"val stays on the host loader: {e}")
@@ -109,6 +126,11 @@ def train(config: Config, seed: int, dataset_ops: str = "",
             state, cache, val_loader, seed, checkpointer=ckpt, log=log,
             metrics_logger=metrics, start_epoch=start_epoch,
             val_cache=val_cache,
+        )
+    elif hybrid is not None:
+        state = trainer.fit_hybrid(
+            state, hybrid, val_loader, seed, checkpointer=ckpt, log=log,
+            metrics_logger=metrics, start_epoch=start_epoch,
         )
     else:
         state = trainer.fit(

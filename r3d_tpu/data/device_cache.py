@@ -418,6 +418,174 @@ def videos_from_source(source, cfg) -> List[Dict]:
     return videos
 
 
+@dataclasses.dataclass
+class HybridCache:
+    """Partial device cache for datasets over the HBM budget.
+
+    The units whose padded footprint fits ``max_bytes`` live in a
+    :class:`DeviceCache`; the rest stay on disk and stream through the host
+    collate.  Batches keep the host loader's EXACT global shuffle order
+    (``hybrid_epoch_plan`` mirrors ``BucketedLoader._order``): each batch's
+    cached rows are gathered from HBM inside the jitted step while its host
+    rows ship as a COMPACTED ``[Bh, ...]`` buffer and scatter into their
+    batch positions on device — so the per-step H2D shrinks by the cached
+    fraction without changing a single batch's composition.  fit_hybrid ==
+    fit bit-exactly (tests/test_hybrid_cache.py).
+    """
+
+    cache: DeviceCache                  # device arrays for the cached units
+    n_views: int                        # ALL (unit, obs_perc) views
+    view_cached_id: np.ndarray          # [N] int32: id into cache's view
+                                        # table, or -1 for a host view
+    host_example: "object"              # Callable[int -> Example] (global
+                                        # view id; only host views queried)
+    n_obs: int
+    with_depth: bool
+    with_query: bool
+
+    @property
+    def host_frac(self) -> float:
+        return float(np.mean(self.view_cached_id < 0))
+
+
+def _unit_probe(source, cfg):
+    """Header-probe each unit's feature/depth/label row counts (npy headers
+    + gt line counts — no data loads).  Returns (units, feat_rows,
+    feat_row_bytes, depth_rows, depth_row_bytes, label_rows)."""
+    import os
+
+    itemsize = 2 if cfg.feature_dtype == "bfloat16" else 4
+    units = list(source.units())
+    feat_rows, depth_rows, label_rows = [], [], []
+    feat_rb = depth_rb = 0
+    for vid, seq in units:
+        vid_file = vid.split("/")[-1]
+        f = np.load(source._feature_file(vid_file, seq), mmap_mode="r")
+        rows = f.shape[-1] if cfg.features_transposed else f.shape[0]
+        feat_rb = (
+            f.shape[0] if cfg.features_transposed else int(np.prod(f.shape[1:]))
+        ) * itemsize
+        feat_rows.append(int(rows))
+        with open(source._gt_file(vid_file, seq), "rb") as fh:
+            # raw line count >= valid label rows (safe upper bound)
+            label_rows.append(sum(1 for _ in fh))
+        if source.depth_path is not None:
+            d = np.load(
+                source._depth_file(vid_file, seq), mmap_mode="r"
+            )
+            depth_rows.append(int(d.shape[0]))
+            depth_rb = int(np.prod(d.shape[1:])) * itemsize
+    return (units, np.array(feat_rows), feat_rb, np.array(depth_rows),
+            depth_rb, np.array(label_rows))
+
+
+def hybrid_cache_from_source(
+    source, cfg, n_query: int, max_bytes: int = 12 << 30
+):
+    """Build a :class:`HybridCache`: greedily cache units ASCENDING by
+    feature rows (maximizes the number of device-resident views — per-video
+    device arrays pad to the set's longest video, so short videos are the
+    cheapest residents) until the padded footprint estimate hits
+    ``max_bytes``.  Raises MemoryError when not even the smallest unit fits.
+    """
+    if cfg.gaze_dir is not None:
+        raise ValueError("device cache does not support gaze query streams")
+    if cfg.raw_frames or cfg.multi_sequence:
+        # multi-seq units share whole-video depth stacks sliced per
+        # sequence at load — the header probe can't see per-unit windows
+        raise ValueError("hybrid cache supports the flat on-disk layout")
+    units, frows, frb, drows, drb, lrows = _unit_probe(source, cfg)
+    order = np.argsort(frows, kind="stable")
+    cached_pos: List[int] = []
+    fmax = dmax = lmax = 0
+    for j in order:
+        fmax_j = max(fmax, int(frows[j]))
+        dmax_j = max(dmax, int(drows[j])) if len(drows) else 0
+        lmax_j = max(lmax, int(lrows[j]))
+        n = len(cached_pos) + 1
+        if n * (fmax_j * frb + dmax_j * drb + lmax_j * 4) > max_bytes:
+            break
+        cached_pos.append(int(j))
+        fmax, dmax, lmax = fmax_j, dmax_j, lmax_j
+    if not cached_pos:
+        raise MemoryError(
+            "hybrid cache: not even the smallest unit fits the budget"
+        )
+    cached_pos_set = sorted(cached_pos)  # keep source.units() order
+    videos = []
+    for u in cached_pos_set:
+        vid, seq = units[u]
+        v = source.load_video(vid, seq)
+        videos.append(
+            {
+                "features": np.asarray(v["features"], np.float32),
+                "label_idx": np.asarray(v["label_idx"]),
+                **(
+                    {"depth": np.asarray(v["depth"], np.float32)}
+                    if v.get("depth") is not None else {}
+                ),
+                **(
+                    {"query_idx": v["query_idx"]}
+                    if v.get("query_idx") is not None else {}
+                ),
+            }
+        )
+    cache = build_cache(
+        videos,
+        obs_percs=cfg.train_obs_percs,
+        sample_rate=cfg.sample_rate,
+        n_query=n_query,
+        pad_idx=source.pad_idx,
+        n_class=source.n_class,
+        buckets=cfg.seq_buckets,
+        feature_dtype=cfg.feature_dtype,
+        query_pad_idx=(
+            len(source.query_dict) if source.query_dict is not None else None
+        ),
+        max_bytes=max_bytes,
+        future_frames=cfg.future_frames,
+    )
+
+    n_obs = len(cfg.train_obs_percs)
+    n_views = len(units) * n_obs
+    view_cached_id = np.full(n_views, -1, np.int32)
+    for j, u in enumerate(cached_pos_set):
+        for o in range(n_obs):
+            view_cached_id[u * n_obs + o] = j * n_obs + o
+
+    obs_percs = tuple(cfg.train_obs_percs)
+
+    def host_example(g: int):
+        vid, seq = units[g // n_obs]
+        return source.make_example(
+            vid, obs_percs[g % n_obs], cfg.sample_rate, n_query, seq=seq
+        )
+
+    return HybridCache(
+        cache=cache,
+        n_views=n_views,
+        view_cached_id=view_cached_id,
+        host_example=host_example,
+        n_obs=n_obs,
+        with_depth=source.depth_path is not None,
+        with_query=source.query_dict is not None,
+    )
+
+
+def hybrid_epoch_plan(
+    h: HybridCache, batch_size: int, seed: int, epoch: int
+) -> List[np.ndarray]:
+    """The host loader's exact epoch order (``BucketedLoader._order`` with
+    shuffle, no length grouping): shuffled global view ids in consecutive
+    ``batch_size`` chunks — batch composition is IDENTICAL to fit()'s."""
+    order = np.arange(h.n_views)
+    np.random.RandomState(seed + epoch).shuffle(order)
+    return [
+        order[i : i + batch_size].astype(np.int32)
+        for i in range(0, len(order), batch_size)
+    ]
+
+
 def epoch_plan(
     cache: DeviceCache,
     batch_size: int,

@@ -550,8 +550,7 @@ class Trainer:
             if prev is not None:
                 yield prev
 
-        best_val_acc = 0.0
-        best_weight_acc = 0.0
+        best = (0.0, 0.0)
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             # metrics accumulate ON DEVICE: float() per step would block the
@@ -576,56 +575,71 @@ class Trainer:
                     agg_dev[k] = agg_dev.get(k, 0.0) + v
 
             agg = {k: float(v) for k, v in agg_dev.items()}  # one sync
-            dt = time.time() - t0
-            loss = agg.get("loss", 0.0) / max(n_batches, 1)
-            acc = agg.get("cls_correct", 0.0) / max(agg.get("cls_total", 0.0), 1.0)
-            log(
-                f"Epoch [{epoch + 1}/{cfg.epochs}] Loss : {loss:.3f} "
-                f"Acc : {acc:.3f} ({n_clips / max(dt, 1e-9):.1f} clips/s)"
+            best = self._finish_epoch(
+                state, epoch, seed, agg, n_batches, n_clips,
+                time.time() - t0,
+                lambda st: self._validate(st, eval_step, val_loader,
+                                          device_prefetch),
+                best, log, metrics_logger, checkpointer,
             )
-
-            # validation (per epoch, as every reference loop does)
-            vagg, vb = self._validate(state, eval_step, val_loader,
-                                      device_prefetch)
-            val_acc = vagg.get("cls_correct", 0.0) / max(vagg.get("cls_total", 0.0), 1.0)
-            val_loss = vagg.get("loss", 0.0) / max(vb, 1)
-            # the reference's per-batch-mean "weighted accuracy" — no
-            # exclude idx, averaged over batches (train_proposed_depth.py:
-            # 91-95,146); distinct from val_acc in general
-            weight_acc = vagg.get("weight_acc_batch", 0.0) / max(vb, 1)
-            log(
-                f"Validation Loss: {val_loss:.3f}, Class Accuracy: {val_acc:.3f}, "
-                f"Weighted Accuracy: {weight_acc:.3f}"
-            )
-            if metrics_logger is not None:
-                rec = {f"train_{k}": v / max(n_batches, 1) for k, v in agg.items()}
-                rec.update(
-                    epoch=epoch, seed=seed, train_acc=acc, val_loss=val_loss,
-                    val_acc=val_acc, val_weight_acc=weight_acc,
-                    clips_per_sec=n_clips / max(dt, 1e-9),
-                )
-                if "erank" in vagg:  # the paper's analysis curve, per epoch
-                    rec["val_erank"] = vagg["erank"] / max(vb, 1)
-                metrics_logger.log(rec, step=int(state.step))
-
-            # best-ckpt rule per reference loop family: train.py:63 and
-            # train_tcn.py:44 gate on accuracy alone; proposed/unimodal/
-            # unsupervised OR the two metrics and OVERWRITE both bests on
-            # improvement (train_proposed_depth.py:237-241 — best_val_acc
-            # can go DOWN when only weight_acc improved)
-            two_metric = cfg.loop not in ("futr", "tcn")
-            if val_acc > best_val_acc or (
-                two_metric and weight_acc > best_weight_acc
-            ):
-                best_val_acc = val_acc
-                best_weight_acc = weight_acc
-                if checkpointer is not None:
-                    checkpointer.save_best(state, seed=seed, epoch=epoch)
-                    log(f"Best model saved (val acc {val_acc:.3f})")
-            if checkpointer is not None:
-                checkpointer.save_last(state, seed=seed)
 
         return state
+
+    def _finish_epoch(self, state, epoch, seed, agg, n_batches, n_clips, dt,
+                      validate, best, log, metrics_logger, checkpointer):
+        """Shared epoch tail of fit/fit_cached/fit_hybrid: train log line,
+        validation (caller closure -> (metrics, n_batches)), metrics record,
+        and the reference's best/last checkpoint rule.  Returns the updated
+        (best_val_acc, best_weight_acc)."""
+        cfg = self.config.train
+        best_val_acc, best_weight_acc = best
+        loss = agg.get("loss", 0.0) / max(n_batches, 1)
+        acc = agg.get("cls_correct", 0.0) / max(agg.get("cls_total", 0.0), 1.0)
+        log(
+            f"Epoch [{epoch + 1}/{cfg.epochs}] Loss : {loss:.3f} "
+            f"Acc : {acc:.3f} ({n_clips / max(dt, 1e-9):.1f} clips/s)"
+        )
+
+        # validation (per epoch, as every reference loop does)
+        vagg, vb = validate(state)
+        val_acc = vagg.get("cls_correct", 0.0) / max(vagg.get("cls_total", 0.0), 1.0)
+        val_loss = vagg.get("loss", 0.0) / max(vb, 1)
+        # the reference's per-batch-mean "weighted accuracy" — no
+        # exclude idx, averaged over batches (train_proposed_depth.py:
+        # 91-95,146); distinct from val_acc in general
+        weight_acc = vagg.get("weight_acc_batch", 0.0) / max(vb, 1)
+        log(
+            f"Validation Loss: {val_loss:.3f}, Class Accuracy: {val_acc:.3f}, "
+            f"Weighted Accuracy: {weight_acc:.3f}"
+        )
+        if metrics_logger is not None:
+            rec = {f"train_{k}": v / max(n_batches, 1) for k, v in agg.items()}
+            rec.update(
+                epoch=epoch, seed=seed, train_acc=acc, val_loss=val_loss,
+                val_acc=val_acc, val_weight_acc=weight_acc,
+                clips_per_sec=n_clips / max(dt, 1e-9),
+            )
+            if "erank" in vagg:  # the paper's analysis curve, per epoch
+                rec["val_erank"] = vagg["erank"] / max(vb, 1)
+            metrics_logger.log(rec, step=int(state.step))
+
+        # best-ckpt rule per reference loop family: train.py:63 and
+        # train_tcn.py:44 gate on accuracy alone; proposed/unimodal/
+        # unsupervised OR the two metrics and OVERWRITE both bests on
+        # improvement (train_proposed_depth.py:237-241 — best_val_acc
+        # can go DOWN when only weight_acc improved)
+        two_metric = cfg.loop not in ("futr", "tcn")
+        if val_acc > best_val_acc or (
+            two_metric and weight_acc > best_weight_acc
+        ):
+            best_val_acc = val_acc
+            best_weight_acc = weight_acc
+            if checkpointer is not None:
+                checkpointer.save_best(state, seed=seed, epoch=epoch)
+                log(f"Best model saved (val acc {val_acc:.3f})")
+        if checkpointer is not None:
+            checkpointer.save_last(state, seed=seed)
+        return best_val_acc, best_weight_acc
 
     def _validate(self, state, eval_step, val_loader, device_prefetch=None):
         """One pass over val_loader with device-side metric accumulation;
@@ -724,8 +738,23 @@ class Trainer:
                     lambda x: jax.device_put(x, rep), val_data
                 )
 
-        best_val_acc = 0.0
-        best_weight_acc = 0.0
+        def validate(st):
+            if cached_eval is None:
+                return self._validate(st, eval_step, val_loader)
+            vagg_dev: Dict[str, jnp.ndarray] = {}
+            vb = 0
+            vplan = epoch_plan(
+                val_cache, cfg.batch_size, 0, 0, shuffle=False,
+                drop_remainder=False,
+            )
+            for (S, _B), idxs in self._group_same_shape(vplan, K):
+                vm = cached_eval(st, val_data, jnp.asarray(np.stack(idxs)), S)
+                vb += len(idxs)
+                for k, v in vm.items():
+                    vagg_dev[k] = vagg_dev.get(k, 0.0) + v
+            return {k: float(v) for k, v in vagg_dev.items()}, vb
+
+        best = (0.0, 0.0)
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             plan = [
@@ -759,62 +788,163 @@ class Trainer:
                     agg_dev[k] = agg_dev.get(k, 0.0) + v
 
             agg = {k: float(v) for k, v in agg_dev.items()}  # one sync
-            dt = time.time() - t0
-            loss = agg.get("loss", 0.0) / max(n_batches, 1)
-            acc = agg.get("cls_correct", 0.0) / max(agg.get("cls_total", 0.0), 1.0)
-            log(
-                f"Epoch [{epoch + 1}/{cfg.epochs}] Loss : {loss:.3f} "
-                f"Acc : {acc:.3f} ({n_clips / max(dt, 1e-9):.1f} clips/s)"
+            best = self._finish_epoch(
+                state, epoch, seed, agg, n_batches, n_clips,
+                time.time() - t0, validate, best, log, metrics_logger,
+                checkpointer,
             )
+        return state
 
-            if cached_eval is not None:
-                vagg_dev: Dict[str, jnp.ndarray] = {}
-                vb = 0
-                vplan = epoch_plan(
-                    val_cache, cfg.batch_size, 0, 0, shuffle=False,
-                    drop_remainder=False,
-                )
-                for (S, _B), idxs in self._group_same_shape(vplan, K):
-                    vm = cached_eval(
-                        state, val_data, jnp.asarray(np.stack(idxs)), S
-                    )
-                    vb += len(idxs)
-                    for k, v in vm.items():
-                        vagg_dev[k] = vagg_dev.get(k, 0.0) + v
-                vagg = {k: float(v) for k, v in vagg_dev.items()}
-            else:
-                vagg, vb = self._validate(state, eval_step, val_loader)
-            val_acc = vagg.get("cls_correct", 0.0) / max(
-                vagg.get("cls_total", 0.0), 1.0
-            )
-            val_loss = vagg.get("loss", 0.0) / max(vb, 1)
-            weight_acc = vagg.get("weight_acc_batch", 0.0) / max(vb, 1)
-            log(
-                f"Validation Loss: {val_loss:.3f}, Class Accuracy: {val_acc:.3f}, "
-                f"Weighted Accuracy: {weight_acc:.3f}"
-            )
-            if metrics_logger is not None:
-                rec = {f"train_{k}": v / max(n_batches, 1) for k, v in agg.items()}
-                rec.update(
-                    epoch=epoch, seed=seed, train_acc=acc, val_loss=val_loss,
-                    val_acc=val_acc, val_weight_acc=weight_acc,
-                    clips_per_sec=n_clips / max(dt, 1e-9),
-                )
-                if "erank" in vagg:  # the paper's analysis curve, per epoch
-                    rec["val_erank"] = vagg["erank"] / max(vb, 1)
-                metrics_logger.log(rec, step=int(state.step))
+    def make_hybrid_train_fn(self, hybrid):
+        """Train step over a HybridCache batch: the batch's device-resident
+        rows assemble via the cached gather while its host rows arrive as a
+        compacted [Bh, ...] buffer and scatter into their batch positions —
+        the assembled batch is bit-identical to the host collate's
+        (tests/test_hybrid_cache.py), the per-step H2D shrinks by the cached
+        fraction."""
+        from r3d_tpu.data import device_cache as dc
 
-            # same two-metric OR/overwrite rule as fit() (the reference's
-            # train_proposed_depth.py:237-241)
-            two_metric = cfg.loop not in ("futr", "tcn")
-            if val_acc > best_val_acc or (
-                two_metric and weight_acc > best_weight_acc
+        cache = hybrid.cache
+        sample_rate = cache.sample_rate
+        pad_idx = cache.pad_idx
+        query_pad_idx = cache.query_pad_idx
+        unsup = self.config.train.loop == "unsupervised"
+        max_segments = self.config.train.max_segments
+
+        @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0,))
+        def hybrid_step(state, data, view_ids, host_pos, host_part, S, rng,
+                        epoch):
+            batch = dc.assemble(
+                data, view_ids, S, sample_rate, pad_idx, query_pad_idx
+            )
+            for k, v in host_part.items():
+                # duplicate positions (power-of-two padding repeats the last
+                # host row) write identical values — deterministic scatter
+                batch[k] = batch[k].at[host_pos].set(v.astype(batch[k].dtype))
+            if unsup:
+                from r3d_tpu.losses.temporal import (
+                    segment_ids_from_labels_jnp,
+                )
+
+                batch["seg_ids"] = segment_ids_from_labels_jnp(
+                    batch["query_label"], max_segments
+                )
+            return self._train_step_core(state, batch, rng, epoch)
+
+        return hybrid_step
+
+    def fit_hybrid(
+        self,
+        state: TrainState,
+        hybrid,
+        val_loader,
+        seed: int,
+        checkpointer=None,
+        log=print,
+        metrics_logger=None,
+        start_epoch: int = 0,
+        val_cache=None,
+    ) -> TrainState:
+        """fit() for datasets OVER the HBM budget (data/device_cache.py:
+        HybridCache): units that fit stay device-resident, the rest stream
+        through the host collate — while every batch keeps fit()'s exact
+        global-shuffle composition, so the trajectory is bit-equal to fit()
+        (tests/test_hybrid_cache.py).  Per batch the host ships only the
+        compacted host rows (count padded to the next power of two to bound
+        compile shapes) plus two small int32 vectors.  steps_per_dispatch
+        does not apply (batches differ in host-row count); single-device
+        (the mesh path keeps the full cache or the host loader)."""
+        from r3d_tpu.data.device_cache import epoch_plan, hybrid_epoch_plan
+        from r3d_tpu.data.pipeline import bucket_length, pad_batch
+
+        cfg = self.config.train
+        cache = hybrid.cache
+        step_fn = self.make_hybrid_train_fn(hybrid)
+        eval_step = self.make_eval_step()
+        rng = jax.random.fold_in(self._base_key(seed), start_epoch)
+        data = cache.data
+        cached_id = hybrid.view_cached_id
+        cached_eval = val_data = None
+        if val_cache is not None:
+            cached_eval = self.make_cached_eval_fn(val_cache)
+            val_data = val_cache.data
+
+        def validate(st):
+            if cached_eval is None:
+                return self._validate(st, eval_step, val_loader)
+            vagg_dev: Dict[str, jnp.ndarray] = {}
+            vb = 0
+            vplan = epoch_plan(
+                val_cache, cfg.batch_size, 0, 0, shuffle=False,
+                drop_remainder=False,
+            )
+            for (S, _B), idxs in self._group_same_shape(vplan, 1):
+                vm = cached_eval(st, val_data, jnp.asarray(np.stack(idxs)), S)
+                vb += len(idxs)
+                for k, v in vm.items():
+                    vagg_dev[k] = vagg_dev.get(k, 0.0) + v
+            return {k: float(v) for k, v in vagg_dev.items()}, vb
+
+        best = (0.0, 0.0)
+        for epoch in range(start_epoch, cfg.epochs):
+            t0 = time.time()
+            agg_dev: Dict[str, jnp.ndarray] = {}
+            n_batches = 0
+            n_clips = 0
+            epoch_rng = jax.random.fold_in(rng, epoch)
+            for chunk in hybrid_epoch_plan(
+                hybrid, cfg.batch_size, seed, epoch
             ):
-                best_val_acc = val_acc
-                best_weight_acc = weight_acc
-                if checkpointer is not None:
-                    checkpointer.save_best(state, seed=seed, epoch=epoch)
-                    log(f"Best model saved (val acc {val_acc:.3f})")
-            if checkpointer is not None:
-                checkpointer.save_last(state, seed=seed)
+                if len(chunk) < cfg.min_train_batch:
+                    continue  # BN guard, as fit()'s host_batches
+                host_sel = np.where(cached_id[chunk] < 0)[0]
+                examples = [
+                    hybrid.host_example(int(chunk[i])) for i in host_sel
+                ]
+                nrows = [
+                    int(cache.nrows_host[cached_id[g]])
+                    for g in chunk if cached_id[g] >= 0
+                ] + [len(e.features) for e in examples]
+                S = bucket_length(max(nrows), cache.buckets)
+                view_ids = np.where(
+                    cached_id[chunk] >= 0, cached_id[chunk], 0
+                ).astype(np.int32)
+                if examples:
+                    part = pad_batch(
+                        examples, cache.pad_idx, (S,), cache.n_query,
+                        with_depth=hybrid.with_depth,
+                        with_query=hybrid.with_query,
+                        feature_dtype=cache.feature_dtype,
+                        query_pad_idx=cache.query_pad_idx,
+                    )
+                    pos = host_sel.astype(np.int32)
+                    Bh = len(examples)
+                    Bp = 1 << (Bh - 1).bit_length()
+                    if Bp != Bh:  # pad to pow2: one compile shape per size
+                        reps = Bp - Bh
+                        part = {
+                            k: np.concatenate(
+                                [v, np.repeat(v[-1:], reps, axis=0)]
+                            )
+                            for k, v in part.items()
+                        }
+                        pos = np.concatenate([pos, np.repeat(pos[-1:], reps)])
+                else:
+                    part = {}
+                    pos = np.zeros((0,), np.int32)
+                state, metrics = step_fn(
+                    state, data, jnp.asarray(view_ids), jnp.asarray(pos),
+                    jax.tree.map(jnp.asarray, part), int(S), epoch_rng, epoch,
+                )
+                n_batches += 1
+                n_clips += len(chunk)
+                for k, v in metrics.items():
+                    agg_dev[k] = agg_dev.get(k, 0.0) + v
+
+            agg = {k: float(v) for k, v in agg_dev.items()}  # one sync
+            best = self._finish_epoch(
+                state, epoch, seed, agg, n_batches, n_clips,
+                time.time() - t0, validate, best, log, metrics_logger,
+                checkpointer,
+            )
         return state

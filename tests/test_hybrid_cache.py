@@ -1,0 +1,162 @@
+"""HybridCache: partial device cache for datasets over the HBM budget.
+
+The defining invariant: fit_hybrid() == fit() BIT-exactly — every batch
+keeps the host loader's global-shuffle composition (hybrid_epoch_plan
+mirrors BucketedLoader._order); cached rows assemble on device, host rows
+ship compacted and scatter into their positions.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from r3d_tpu.config import get_config, TrainConfig
+from r3d_tpu.data.datasets import build_loader, build_source
+from r3d_tpu.data.device_cache import (
+    hybrid_cache_from_source, hybrid_epoch_plan,
+)
+from r3d_tpu.train.loop import Trainer
+
+OBS = (0.2, 0.3, 0.5)
+SR = 2
+NQ = 8
+BUCKETS = (32, 48)
+
+
+@pytest.fixture(scope="module")
+def disk_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("hyb") / "utkinect"
+    rng = np.random.RandomState(5)
+    acts = [f"a{i}" for i in range(5)]
+    for d in ["features_img", "features_depth", "groundTruth", "splits"]:
+        os.makedirs(root / d, exist_ok=True)
+    (root / "mapping_l2_changed.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(acts))
+    )
+    vids = []
+    for v in range(6):
+        L = int(rng.randint(50, 90))
+        labels = [acts[int(x)] for x in (np.arange(L) // 9) % 5]
+        np.save(root / "features_img" / f"v{v}.npy",
+                rng.randn(L, 16).astype(np.float32))
+        np.save(root / "features_depth" / f"v{v}.npy",
+                rng.randn(L, 6, 4).astype(np.float32))
+        with open(root / "groundTruth" / f"v{v}.txt", "w") as f:
+            for t, l in enumerate(labels):
+                f.write(f"img{t},{l},q{t % 3}\n")
+        vids.append(f"v{v}.txt")
+    (root / "splits" / "train_split.txt").write_text("\n".join(vids) + "\n")
+    (root / "splits" / "val_split.txt").write_text("\n".join(vids[:2]) + "\n")
+    return root
+
+
+def make_cfg(root, **train_kw):
+    cfg = get_config("utkinects")
+    return cfg.replace(
+        data=dataclasses.replace(
+            cfg.data, data_root=str(root.parent), seq_buckets=BUCKETS,
+            train_obs_percs=OBS, sample_rate=SR, depth_shape=(6, 4),
+            feature_dtype="float32",
+        ),
+        model=dataclasses.replace(
+            cfg.model, model="futr_fusion_bn", input_dim=16, hidden_dim=16,
+            n_head=2, n_query=NQ, n_encoder_layers=1, n_decoder_layers=1,
+            compute_dtype="float32", embed_dtype=None, log_erank=False,
+            max_pos_len=64,
+        ),
+        train=TrainConfig(
+            loop="proposed_depth", batch_size=4, epochs=2, warmup_epochs=1,
+            min_train_batch=0, seeds=(1,), **train_kw,
+        ),
+    )
+
+
+def full_budget(source, cfg):
+    """The exact padded-footprint the full cache would need."""
+    from r3d_tpu.data.device_cache import _unit_probe
+
+    units, frows, frb, drows, drb, lrows = _unit_probe(source, cfg)
+    return len(units) * (
+        int(frows.max()) * frb
+        + (int(drows.max()) * drb if len(drows) else 0)
+        + int(lrows.max()) * 4
+    )
+
+
+def test_partition_splits_and_plan_covers_all(disk_tree):
+    cfg = make_cfg(disk_tree)
+    src = build_source(cfg.data, "train_split.txt")
+    budget = full_budget(src, cfg.data) // 2
+    h = hybrid_cache_from_source(src, cfg.data, NQ, max_bytes=budget)
+    assert 0 < h.host_frac < 1
+    assert h.cache.nbytes <= budget * 2  # view/len tables ride on top
+    # cached + host views partition the full view table
+    n_cached = int((h.view_cached_id >= 0).sum())
+    assert n_cached == h.cache.n_views
+    assert n_cached + int((h.view_cached_id < 0).sum()) == h.n_views
+    # the epoch plan covers every view exactly once, in the host loader's
+    # shuffle order
+    plan = hybrid_epoch_plan(h, 4, seed=1, epoch=0)
+    got = np.concatenate(plan)
+    assert sorted(got.tolist()) == list(range(h.n_views))
+    order = np.arange(h.n_views)
+    np.random.RandomState(1 + 0).shuffle(order)
+    np.testing.assert_array_equal(got, order)
+
+
+def test_budget_too_small_raises(disk_tree):
+    cfg = make_cfg(disk_tree)
+    src = build_source(cfg.data, "train_split.txt")
+    with pytest.raises(MemoryError):
+        hybrid_cache_from_source(src, cfg.data, NQ, max_bytes=1024)
+
+
+@pytest.mark.parametrize("split", ["partial", "all_cached"])
+def test_fit_hybrid_equals_fit(disk_tree, split):
+    """The invariant: fit_hybrid reproduces fit() bit-for-bit — same batch
+    composition, same dropout keys, same final params, same printed logs."""
+    cfg = make_cfg(disk_tree)
+    src = build_source(cfg.data, "train_split.txt")
+    val_src = build_source(cfg.data, "val_split.txt")
+    budget = full_budget(src, cfg.data)
+    if split == "partial":
+        budget //= 2
+    h = hybrid_cache_from_source(src, cfg.data, NQ, max_bytes=budget)
+    assert (h.host_frac > 0) == (split == "partial")
+
+    def loaders():
+        return (
+            build_loader(src, cfg.data, 4, NQ, mode="train", shuffle=True,
+                         seed=1),
+            build_loader(val_src, cfg.data, 4, NQ, mode="val",
+                         shuffle=False),
+        )
+
+    logs = {"host": [], "hybrid": []}
+    cap = lambda tag: lambda *a: logs[tag].append(" ".join(map(str, a)))
+
+    train_l, val_l = loaders()
+    example = next(iter(val_l))
+    t1 = Trainer(cfg, src.n_class)
+    s1 = t1.init_state(jax.random.PRNGKey(7), example, 2)
+    s1 = t1.fit(s1, train_l, val_l, seed=1, log=cap("host"))
+
+    _, val_l2 = loaders()
+    t2 = Trainer(cfg, src.n_class)
+    s2 = t2.init_state(jax.random.PRNGKey(7), example, 2)
+    s2 = t2.fit_hybrid(s2, h, val_l2, seed=1, log=cap("hybrid"))
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=0
+        ),
+        jax.device_get(s1.params), jax.device_get(s2.params),
+    )
+    # identical log lines up to wall-clock throughput
+    strip = lambda ls: [l.split(" (")[0] for l in ls]
+    assert strip(logs["host"]) == strip(logs["hybrid"])
