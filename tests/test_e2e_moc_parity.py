@@ -499,6 +499,135 @@ def ntu_disk(tmp_path_factory):
     return root
 
 
+# --------------------------------------------------------------------------
+# darai: the LIVE darai sweep (make_gif.predict) is unrunnable as committed
+# (COMPAT #33); evaluation/predict_darai.py is the RUNNABLE darai protocol —
+# multi-sequence {base}_{seq} walk, 3-field csv gt, query-conditioned model
+# call (predict_darai.py:236-276), per-window ant accuracy whose 10x weight
+# cancels (weighted_accuracy, :175-234), MoC over the L2 stream.
+# --------------------------------------------------------------------------
+
+DAR_L2 = [f"act{i}" for i in range(4)]
+DAR_L3 = [f"fine{i}" for i in range(5)]
+BANG_RE = re.compile(r"!{3,}\s+([\d.eE+-]+)")
+
+
+@pytest.fixture(scope="module")
+def darai_disk(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e_darai") / "datasets" / "darai"
+    rng = np.random.RandomState(53)
+    for d in ["features_temp", "groundTruth_nov11", "splits", "imgs"]:
+        os.makedirs(root / d, exist_ok=True)
+    (root / "mapping_l2_changed.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(DAR_L2))
+    )
+    (root / "mapping_l3_changed.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(DAR_L3))
+    )
+    # one tiny frame reused by every gt row (the sweep's visualization
+    # helper PIL-opens the per-row image path, predict_darai.py:191-203)
+    from PIL import Image
+
+    Image.new("RGB", (8, 8), (90, 40, 20)).save(root / "imgs" / "f.png")
+    vids = []
+    for v in range(3):
+        for seq in (1, 2):
+            L = int(rng.randint(30, 55))
+            l2, l3 = [], []
+            while len(l2) < L:
+                l2.extend([DAR_L2[rng.randint(len(DAR_L2))]] * rng.randint(4, 9))
+            while len(l3) < L:
+                l3.extend([DAR_L3[rng.randint(len(DAR_L3))]] * rng.randint(3, 7))
+            np.save(root / "features_temp" / f"v{v}_{seq}.npy",
+                    rng.randn(L, IN_DIM).astype(np.float32))
+            (root / "groundTruth_nov11" / f"v{v}_{seq}.txt").write_text(
+                "".join(
+                    f"datasets/darai/imgs/f.png,{l2[t]},{l3[t]}\n"
+                    for t in range(L)
+                )
+            )
+        vids.append(f"v{v}.txt")
+    (root / "splits" / "train_split.txt").write_text("\n".join(vids) + "\n")
+    return root
+
+
+@pytest.mark.parametrize("obs_p", [0.3])
+def test_darai_e2e_moc_parity(darai_disk, tmp_path, obs_p):
+    """evaluation/predict_darai.predict (the runnable darai sweep) vs our
+    Predictor on the darai multi-sequence layout: MoC table + the printed
+    per-window anticipation accuracy (acc/idx) must agree."""
+    import dataclasses
+
+    import matplotlib
+
+    matplotlib.use("Agg")  # predict_darai imports pyplot at module import
+    from predict_darai import predict as ref_predict
+    from model.futr_proposed import FUTR as RefProposed
+
+    actions_dict = read_mapping(darai_disk / "mapping_l2_changed.txt")
+    query_dict = read_mapping(darai_disk / "mapping_l3_changed.txt")
+    n_class = len(actions_dict) + 1
+    pad_idx = n_class + 1                       # main_darai.py:113
+    query_num = len(query_dict) + 1             # COMPAT #26 pad slot
+
+    args = torch_ref.RefArgs(input_dim=IN_DIM, max_pos_len=128,
+                             sample_rate=SR, dataset="darai")
+    torch.manual_seed(37)
+    ref_model = RefProposed(
+        n_class, HID, pad_idx, torch.device("cpu"), args, n_query=NQ,
+        n_head=4, num_encoder_layers=1, num_decoder_layers=1,
+        query_num=query_num,
+    )
+    ref_model.eval()
+    torch_ref.zero_dropout(ref_model)
+
+    vid_list = [f"v{v}.txt" for v in range(3)]
+    buf = io.StringIO()
+    with chdir(darai_disk.parent.parent), redirected_refpaths(tmp_path):
+        os.makedirs("save_dir/darai/visualization", exist_ok=True)
+        with contextlib.redirect_stdout(buf):
+            ref_predict(ref_model, vid_list, args, obs_p, n_class,
+                        actions_dict, torch.device("cpu"), query_dict)
+    ref_moc = parse_moc(buf.getvalue())
+    assert len(ref_moc) == 4
+    ref_ant = float(BANG_RE.search(buf.getvalue()).group(1))
+
+    base = get_config("darai")
+    cfg = base.replace(
+        data=dataclasses.replace(
+            base.data, data_root=str(darai_disk.parent),
+            features_dir="features_temp", gt_dir="groundTruth_nov11",
+            depth_features_dir=None, multi_sequence=True,
+            seq_buckets=(32, 64), sample_rate=SR, feature_dtype="float32",
+        ),
+        model=ModelConfig(
+            model="futr_proposed", hidden_dim=HID, n_head=4,
+            n_encoder_layers=1, n_decoder_layers=1, n_query=NQ,
+            input_dim=IN_DIM, max_pos_len=128, compute_dtype="float32",
+            query_num=query_num, seg_excludes_none=True,
+        ),
+        train=TrainConfig(loop="futr", min_train_batch=0),
+        eval=EvalConfig(ant_acc_mode="unweighted"),
+    )
+    source = build_source(cfg.data, "train_split.txt")
+    assert source.n_class == n_class and source.pad_idx == pad_idx
+    assert len(source.units()) == 6             # 3 videos x 2 sequences
+    model = build_model(cfg.model, source.n_class)
+    xj = jnp.zeros((1, 8, IN_DIM), jnp.float32)
+    qj = jnp.zeros((1, 8), jnp.int32)
+    init = model.init(jax.random.PRNGKey(0), xj, qj, train=False)["params"]
+    conv = jax.tree.map(jnp.asarray, torch_ref.proposed_params(ref_model))
+    variables = {"params": {**dict(init), **conv}}
+
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    res = predictor.predict(variables, source, obs_p, log=lambda *a: None)
+
+    for (o, p), want in ref_moc.items():
+        got = res[f"obs{o}_pred{p}"]
+        assert abs(got - want) < 5.1e-5, (o, p, got, want)
+    np.testing.assert_allclose(res["ant_acc"], ref_ant, atol=1e-6)
+
+
 @pytest.mark.parametrize("obs_p", [0.2, 0.3])
 def test_nturgbd_e2e_moc_parity(ntu_disk, tmp_path, obs_p):
     """evaluation/predict_nturgbd.predict with the live RNN model on
