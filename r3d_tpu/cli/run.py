@@ -53,10 +53,14 @@ def train(config: Config, seed: int, dataset_ops: str = "",
     if len(jax.devices()) > 1:
         # multi-chip hosts train data-parallel by default (the reference
         # wraps in nn.DataParallel unconditionally, main_utkinects.py:129);
-        # tp/sp come from MeshConfig for the wide/long configs
+        # tp/sp/pp come from MeshConfig for the wide/long/deep configs
         from r3d_tpu.parallel.mesh import make_mesh
+        from r3d_tpu.parallel.pipeline import set_pipeline_microbatches
 
-        mesh = make_mesh(config.mesh.dp, config.mesh.tp, config.mesh.sp)
+        mesh = make_mesh(
+            config.mesh.dp, config.mesh.tp, config.mesh.sp, config.mesh.pp
+        )
+        set_pipeline_microbatches(config.mesh.pp_microbatches)
         log(f"mesh: {dict(mesh.shape)}")
     trainer = Trainer(config, src.n_class, mesh=mesh)
 
@@ -161,8 +165,12 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
         # shard the MoC sweep over the data axis (the reference
         # DataParallel's inference counterpart, main.py:115)
         from r3d_tpu.parallel.mesh import make_mesh
+        from r3d_tpu.parallel.pipeline import set_pipeline_microbatches
 
-        mesh = make_mesh(config.mesh.dp, config.mesh.tp, config.mesh.sp)
+        mesh = make_mesh(
+            config.mesh.dp, config.mesh.tp, config.mesh.sp, config.mesh.pp
+        )
+        set_pipeline_microbatches(config.mesh.pp_microbatches)
     predictor = Predictor(config, model, source.n_class, mesh=mesh)
 
     cache_data = None

@@ -263,14 +263,17 @@ class EvalConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh layout. Reference has DataParallel only (main.py:115);
-    here the batch rides a ('dp','tp','sp') mesh with XLA collectives over
-    ICI — dp shards the batch, tp the wide kernels (Megatron rules,
+    here the batch rides a ('dp','tp','sp','pp') mesh with XLA collectives
+    over ICI — dp shards the batch, tp the wide kernels (Megatron rules,
     parallel/mesh.py), sp the sequence axis (ring attention,
-    ops/ring_attention.py)."""
+    ops/ring_attention.py), pp the decoder layer stack (GPipe microbatch
+    pipeline, parallel/pipeline.py)."""
 
     dp: int = -1        # -1 => remaining devices on the dp axis
     tp: int = 1
     sp: int = 1         # sequence-parallel axis (long-S configs)
+    pp: int = 1         # pipeline-parallel stages (deep-decoder configs)
+    pp_microbatches: int = 0  # 0 => auto (= pp); more => smaller bubble
 
 
 @dataclass(frozen=True)

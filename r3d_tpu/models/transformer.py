@@ -43,7 +43,13 @@ class TransformerEncoder(nn.Module):
 
 class TransformerDecoder(nn.Module):
     """Decoder stack with the reference's unconditional final LayerNorm
-    (transformer.py:37,182-183)."""
+    (transformer.py:37,182-183).
+
+    On a mesh with a pp axis (and stage-divisible depth/batch) the stack
+    runs as a GPipe microbatch pipeline over ICI instead of the sequential
+    loop — same params, same math, values and grads equal
+    (parallel/pipeline.py, tests/test_pipeline_pp.py). Init always takes
+    the sequential path so the param layout is identical either way."""
 
     dim: int
     n_head: int
@@ -56,6 +62,18 @@ class TransformerDecoder(nn.Module):
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos, memory_key_padding_mask=None,
                  deterministic=True, tgt_key_padding_mask=None):
+        from r3d_tpu.parallel.pipeline import pipeline_plan
+
+        plan = (
+            None if self.is_initializing()
+            else pipeline_plan(self.n_layers, tgt.shape[0], self.sow_attn)
+        )
+        if plan is not None:
+            out = self._pipelined(
+                plan, tgt, memory, pos, query_pos, memory_key_padding_mask,
+                deterministic, tgt_key_padding_mask,
+            )
+            return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
         out = tgt
         for i in range(self.n_layers):
             out = DecoderLayer(
@@ -64,6 +82,71 @@ class TransformerDecoder(nn.Module):
             )(out, memory, pos, query_pos, memory_key_padding_mask,
               deterministic, tgt_key_padding_mask)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
+
+    def _pipelined(self, plan, tgt, memory, pos, query_pos,
+                   memory_key_padding_mask, deterministic,
+                   tgt_key_padding_mask):
+        """Apply the layer stack as a pp-axis microbatch pipeline.
+
+        The per-layer params created by the sequential path stack into
+        [n_layers, ...] leaves (read off ``self.variables`` — init never
+        routes here) and shard over 'pp'; the decoder's side inputs
+        (memory/pos/masks) ride replicated. Dropout keys derive per
+        (global layer, microbatch) by fold_in — a different mask
+        realization than the sequential path's flax-internal stream, so
+        train-mode stochastic draws differ (equally valid; the
+        equivalence tests pin dropout=0)."""
+        import jax
+
+        from r3d_tpu.parallel.pipeline import gpipe
+
+        mesh, pp, M = plan
+        Lps = self.n_layers // pp
+        params = self.variables["params"]
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[params[f"layer{i}"] for i in range(self.n_layers)],
+        )
+        B = tgt.shape[0]
+        Bm = B // M
+        mb = lambda x: x.reshape((M, Bm) + x.shape[1:])
+        consts = {"memory": mb(memory)}
+        if pos is not None:
+            consts["pos"] = mb(pos)
+        if query_pos is not None:
+            consts["query_pos"] = mb(query_pos)
+        if memory_key_padding_mask is not None:
+            consts["mkpm"] = mb(memory_key_padding_mask)
+        if tgt_key_padding_mask is not None:
+            consts["tkpm"] = mb(tgt_key_padding_mask)
+        needs_rng = (not deterministic) and self.dropout > 0.0
+        extras = {"rng": self.make_rng("dropout")} if needs_rng else {}
+        layer = DecoderLayer(
+            self.dim, self.n_head, self.ffn_dim, self.dropout,
+            sow_attn=False, dtype=self.dtype,
+        )
+
+        def stage_fn(local, x, c, ex, m):
+            d = jax.lax.axis_index("pp")
+
+            def one(x, p_i):
+                p, li = p_i
+                rngs = None
+                if needs_rng:
+                    k = jax.random.fold_in(ex["rng"], d * Lps + li)
+                    rngs = {"dropout": jax.random.fold_in(k, m)}
+                x = layer.apply(
+                    {"params": p}, x, c["memory"], c.get("pos"),
+                    c.get("query_pos"), c.get("mkpm"), deterministic,
+                    c.get("tkpm"), rngs=rngs,
+                )
+                return x, None
+
+            x, _ = jax.lax.scan(one, x, (local, jnp.arange(Lps)))
+            return x
+
+        out = gpipe(stage_fn, stacked, mb(tgt), consts, extras, mesh, M)
+        return out.reshape((B,) + out.shape[2:])
 
 
 class FUTRTransformer(nn.Module):

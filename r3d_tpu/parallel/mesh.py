@@ -17,6 +17,11 @@ collectives (SURVEY.md §2.7).  The TPU-native equivalent is declarative: one
   other op partitions along S for free (embed/LN/heads are row-local;
   losses psum). For sequences past one chip's HBM; exercised by the
   multi-chip dry run and the fake-8-device tests.
+- axis ``pp``: optional pipeline parallelism — the decoder layer stack
+  splits into equal stages, microbatches stream through them on a GPipe
+  fill–drain schedule with activations hopping stage→stage via ppermute
+  (parallel/pipeline.py). Last axis so consecutive stages are ICI
+  neighbours.
 
 No communication code lives anywhere else: shardings go in, XLA emits
 psum/all-gather over ICI.
@@ -24,6 +29,7 @@ psum/all-gather over ICI.
 
 from __future__ import annotations
 
+import contextlib
 import re
 from typing import Any, Dict, Optional, Sequence
 
@@ -47,17 +53,33 @@ def active_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH
 
 
+@contextlib.contextmanager
+def suppress_active_mesh():
+    """Hide the active mesh while TRACING the body of an explicit
+    shard_map (the pp pipeline): mesh-aware ops called inside would try
+    to shard_map themselves again over axes that are already bound.
+    Trace-time only — the contextmanager wraps the shard_map call, and
+    every active_mesh() read happens during that trace."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = None
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
+
+
 def make_mesh(
-    dp: int = -1, tp: int = 1, sp: int = 1,
+    dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
     devices: Optional[Sequence[Any]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        dp = n // (tp * sp)
-    assert dp * tp * sp == n, f"mesh {dp}x{tp}x{sp} != {n} devices"
-    arr = np.array(devices).reshape(dp, tp, sp)
-    return Mesh(arr, ("dp", "tp", "sp"))
+        dp = n // (tp * sp * pp)
+    assert dp * tp * sp * pp == n, f"mesh {dp}x{tp}x{sp}x{pp} != {n} devices"
+    arr = np.array(devices).reshape(dp, tp, sp, pp)
+    return Mesh(arr, ("dp", "tp", "sp", "pp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
