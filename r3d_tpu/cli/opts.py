@@ -90,6 +90,17 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="AdamW first-moment storage dtype (bf16 halves its "
                         "HBM stream + optimizer memory; math stays fp32)")
+    p.add_argument("--moe_experts", type=int, default=None,
+                   help="replace transformer FFNs with this many MoE "
+                        "experts (models/moe.py); 0 = dense")
+    p.add_argument("--moe_top_k", type=int, default=None)
+    # device-mesh axes (MeshConfig; only meaningful on multi-chip hosts)
+    for ax, what in [("dp", "data"), ("tp", "tensor"), ("sp", "sequence"),
+                     ("pp", "pipeline"), ("ep", "expert")]:
+        p.add_argument(f"--mesh_{ax}", type=int, default=None,
+                       help=f"{what}-parallel mesh extent")
+    p.add_argument("--pp_microbatches", type=int, default=None,
+                   help="GPipe microbatch count (0 = auto = pp)")
     return p
 
 
@@ -113,6 +124,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         ("max_pos_len", "max_pos_len"), ("dropout", "dropout"),
         ("input_type", "input_type"), ("erank_weight", "erank_weight"),
         ("erank_target", "erank_target"), ("compute_dtype", "compute_dtype"),
+        ("moe_experts", "moe_experts"), ("moe_top_k", "moe_top_k"),
     ]:
         v = getattr(args, arg)
         if v is not None:
@@ -134,11 +146,19 @@ def config_from_args(args: argparse.Namespace) -> Config:
         train_over["seeds"] = (args.seed,)
     if args.model_save_path is not None:
         train_over["save_dir"] = args.model_save_path
+    mesh_over = {}
+    for ax in ["dp", "tp", "sp", "pp", "ep"]:
+        v = getattr(args, f"mesh_{ax}")
+        if v is not None:
+            mesh_over[ax] = v
+    if args.pp_microbatches is not None:
+        mesh_over["pp_microbatches"] = args.pp_microbatches
 
     return cfg.replace(
         data=dataclasses.replace(cfg.data, **data_over),
         model=dataclasses.replace(cfg.model, **model_over),
         train=dataclasses.replace(cfg.train, **train_over),
+        mesh=dataclasses.replace(cfg.mesh, **mesh_over),
     )
 
 

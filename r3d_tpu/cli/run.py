@@ -58,7 +58,8 @@ def train(config: Config, seed: int, dataset_ops: str = "",
         from r3d_tpu.parallel.pipeline import set_pipeline_microbatches
 
         mesh = make_mesh(
-            config.mesh.dp, config.mesh.tp, config.mesh.sp, config.mesh.pp
+            config.mesh.dp, config.mesh.tp, config.mesh.sp, config.mesh.pp,
+            config.mesh.ep,
         )
         set_pipeline_microbatches(config.mesh.pp_microbatches)
         log(f"mesh: {dict(mesh.shape)}")
@@ -168,7 +169,8 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
         from r3d_tpu.parallel.pipeline import set_pipeline_microbatches
 
         mesh = make_mesh(
-            config.mesh.dp, config.mesh.tp, config.mesh.sp, config.mesh.pp
+            config.mesh.dp, config.mesh.tp, config.mesh.sp, config.mesh.pp,
+            config.mesh.ep,
         )
         set_pipeline_microbatches(config.mesh.pp_microbatches)
     predictor = Predictor(config, model, source.n_class, mesh=mesh)

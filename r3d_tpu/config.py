@@ -162,6 +162,21 @@ class ModelConfig:
     # separately by ops.attention.attention_kernel_eligible + the platform
     # check in ops.fuser_kernel.pallas_enabled).
     use_pallas: bool = True
+    # Mixture-of-Experts FFNs (models/moe.py; new capability — the
+    # reference's FFNs are always dense, transformer.py:200-202). > 0
+    # replaces every transformer FFN with moe_experts experts routed
+    # top-k; expert params shard over the mesh's 'ep' axis.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    # Expert capacity = ceil(top_k * tokens / E * capacity_factor). Token
+    # assignments past an expert's capacity DROP (GShard semantics), and
+    # which ones drop depends on batch composition — for exact
+    # padded == unpadded eval behavior raise this until no expert
+    # overflows (tests/test_moe.py pins both regimes).
+    moe_capacity_factor: float = 1.25
+    # Switch load-balancing aux-loss weight (moe.py sows it; the train
+    # loop adds weight * aux to the total when experts are on).
+    moe_aux_weight: float = 0.01
 
 
 @dataclass(frozen=True)
@@ -263,17 +278,19 @@ class EvalConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh layout. Reference has DataParallel only (main.py:115);
-    here the batch rides a ('dp','tp','sp','pp') mesh with XLA collectives
-    over ICI — dp shards the batch, tp the wide kernels (Megatron rules,
-    parallel/mesh.py), sp the sequence axis (ring attention,
-    ops/ring_attention.py), pp the decoder layer stack (GPipe microbatch
-    pipeline, parallel/pipeline.py)."""
+    here the batch rides a ('dp','ep','tp','sp','pp') mesh with XLA
+    collectives over ICI — dp shards the batch, tp the wide kernels
+    (Megatron rules, parallel/mesh.py), sp the sequence axis (ring
+    attention, ops/ring_attention.py), pp the decoder layer stack (GPipe
+    microbatch pipeline, parallel/pipeline.py), ep the MoE expert axis
+    (models/moe.py)."""
 
     dp: int = -1        # -1 => remaining devices on the dp axis
     tp: int = 1
     sp: int = 1         # sequence-parallel axis (long-S configs)
     pp: int = 1         # pipeline-parallel stages (deep-decoder configs)
     pp_microbatches: int = 0  # 0 => auto (= pp); more => smaller bubble
+    ep: int = 1         # expert-parallel axis (moe_experts configs)
 
 
 @dataclass(frozen=True)

@@ -120,6 +120,8 @@ class FUTRFusion(nn.Module):
             cfg.hidden_dim * 4, cfg.dropout, use_encoder=cfg.use_encoder,
             n_query=cfg.n_query, max_pos_len=cfg.max_pos_len,
             sow_attn=cfg.sow_attn,
+            moe_experts=cfg.moe_experts, moe_top_k=cfg.moe_top_k,
+            moe_capacity_factor=cfg.moe_capacity_factor,
             dtype=_dtype(cfg), name="transformer",
         )(fused, pos, action_query, src_pad_mask, deterministic=not train)
 

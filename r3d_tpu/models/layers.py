@@ -199,6 +199,24 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, kernel_init=xavier, dtype=self.dtype, name="linear2")(h)
 
 
+def _make_ffn(parent_cfg, name="ffn"):
+    """Dense FFN, or MoE when the layer carries moe_experts > 0
+    (models/moe.py; reference FFNs are always dense, transformer.py:200)."""
+    if parent_cfg.moe_experts > 0:
+        from r3d_tpu.models.moe import MoEFeedForward
+
+        return MoEFeedForward(
+            parent_cfg.dim, parent_cfg.ffn_dim,
+            n_experts=parent_cfg.moe_experts, top_k=parent_cfg.moe_top_k,
+            capacity_factor=parent_cfg.moe_capacity_factor,
+            dropout=parent_cfg.dropout, dtype=parent_cfg.dtype, name=name,
+        )
+    return FeedForward(
+        parent_cfg.dim, parent_cfg.ffn_dim, parent_cfg.dropout,
+        dtype=parent_cfg.dtype, name=name,
+    )
+
+
 class EncoderLayer(nn.Module):
     """Post-norm encoder layer (transformer.py:217-230)."""
 
@@ -208,6 +226,9 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     sow_attn: bool = False
     dtype: Dtype = jnp.float32
+    moe_experts: int = 0      # > 0: FFN becomes MoE (models/moe.py)
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(
@@ -224,9 +245,7 @@ class EncoderLayer(nn.Module):
         )(qkv, qkv, qkv, key_padding_mask, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
-        ffn = FeedForward(
-            self.dim, self.ffn_dim, self.dropout, dtype=self.dtype, name="ffn"
-        )(src, deterministic)
+        ffn = _make_ffn(self)(src, deterministic)
         src = src + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
 
@@ -241,6 +260,9 @@ class DecoderLayer(nn.Module):
     dropout: float = 0.1
     sow_attn: bool = False
     dtype: Dtype = jnp.float32
+    moe_experts: int = 0      # > 0: FFN becomes MoE (models/moe.py)
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(
@@ -279,9 +301,7 @@ class DecoderLayer(nn.Module):
         tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
 
-        ffn = FeedForward(
-            self.dim, self.ffn_dim, self.dropout, dtype=self.dtype, name="ffn"
-        )(tgt, deterministic)
+        ffn = _make_ffn(self)(tgt, deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
 

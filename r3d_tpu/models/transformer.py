@@ -29,6 +29,9 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     sow_attn: bool = False
     dtype: jnp.dtype = jnp.float32
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, src, pos, key_padding_mask=None, deterministic=True):
@@ -36,7 +39,10 @@ class TransformerEncoder(nn.Module):
         for i in range(self.n_layers):
             out = EncoderLayer(
                 self.dim, self.n_head, self.ffn_dim, self.dropout,
-                sow_attn=self.sow_attn, dtype=self.dtype, name=f"layer{i}",
+                sow_attn=self.sow_attn, dtype=self.dtype,
+                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                name=f"layer{i}",
             )(out, pos, key_padding_mask, deterministic)
         return out
 
@@ -58,14 +64,19 @@ class TransformerDecoder(nn.Module):
     dropout: float = 0.1
     sow_attn: bool = False
     dtype: jnp.dtype = jnp.float32
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos, memory_key_padding_mask=None,
                  deterministic=True, tgt_key_padding_mask=None):
         from r3d_tpu.parallel.pipeline import pipeline_plan
 
+        # MoE decoders keep the GSPMD path: the pipeline stage body binds
+        # only 'params', which would drop the MoE aux-loss sow (moe.py)
         plan = (
-            None if self.is_initializing()
+            None if (self.is_initializing() or self.moe_experts > 0)
             else pipeline_plan(self.n_layers, tgt.shape[0], self.sow_attn)
         )
         if plan is not None:
@@ -78,7 +89,10 @@ class TransformerDecoder(nn.Module):
         for i in range(self.n_layers):
             out = DecoderLayer(
                 self.dim, self.n_head, self.ffn_dim, self.dropout,
-                sow_attn=self.sow_attn, dtype=self.dtype, name=f"layer{i}",
+                sow_attn=self.sow_attn, dtype=self.dtype,
+                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                name=f"layer{i}",
             )(out, memory, pos, query_pos, memory_key_padding_mask,
               deterministic, tgt_key_padding_mask)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(out)
@@ -169,6 +183,9 @@ class FUTRTransformer(nn.Module):
     max_pos_len: int = 2000
     sow_attn: bool = False
     dtype: jnp.dtype = jnp.float32
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(
@@ -184,6 +201,8 @@ class FUTRTransformer(nn.Module):
             memory = TransformerEncoder(
                 self.dim, self.n_head, self.n_encoder_layers, self.ffn_dim,
                 self.dropout, sow_attn=self.sow_attn, dtype=self.dtype,
+                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
                 name="encoder",
             )(src, pos, src_key_padding_mask, deterministic)
         else:
@@ -206,6 +225,8 @@ class FUTRTransformer(nn.Module):
         hs = TransformerDecoder(
             self.dim, self.n_head, self.n_decoder_layers, self.ffn_dim,
             self.dropout, sow_attn=self.sow_attn, dtype=self.dtype,
+            moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
             name="decoder",
         )(tgt, memory, pos, query_pos, src_key_padding_mask, deterministic,
           tgt_key_padding_mask)

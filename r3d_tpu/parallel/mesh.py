@@ -22,6 +22,9 @@ collectives (SURVEY.md §2.7).  The TPU-native equivalent is declarative: one
   fill–drain schedule with activations hopping stage→stage via ppermute
   (parallel/pipeline.py). Last axis so consecutive stages are ICI
   neighbours.
+- axis ``ep``: optional expert parallelism — MoE expert params carry a
+  leading [E, ...] axis sharded over 'ep' (models/moe.py); GSPMD lowers
+  the one-hot dispatch/combine contractions to all-to-alls over ICI.
 
 No communication code lives anywhere else: shardings go in, XLA emits
 psum/all-gather over ICI.
@@ -70,16 +73,18 @@ def suppress_active_mesh():
 
 
 def make_mesh(
-    dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1,
+    dp: int = -1, tp: int = 1, sp: int = 1, pp: int = 1, ep: int = 1,
     devices: Optional[Sequence[Any]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp == -1:
-        dp = n // (tp * sp * pp)
-    assert dp * tp * sp * pp == n, f"mesh {dp}x{tp}x{sp}x{pp} != {n} devices"
-    arr = np.array(devices).reshape(dp, tp, sp, pp)
-    return Mesh(arr, ("dp", "tp", "sp", "pp"))
+        dp = n // (tp * sp * pp * ep)
+    assert dp * tp * sp * pp * ep == n, (
+        f"mesh {dp}x{ep}x{tp}x{sp}x{pp} != {n} devices"
+    )
+    arr = np.array(devices).reshape(dp, ep, tp, sp, pp)
+    return Mesh(arr, ("dp", "ep", "tp", "sp", "pp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -98,6 +103,14 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 # Fuser-kernel params (safuser/qkv_kernel etc.) intentionally do NOT match:
 # those ops shard_map row-parallel over dp with replicated weights.
 _TP_RULES = [
+    # MoE expert stacks (models/moe.py, nn.vmap leading [E, ...] axis):
+    # experts shard over 'ep', and within each expert the two linears
+    # follow the same column-/row-parallel split over 'tp'. Rules are
+    # first-match, so these precede the dense-FFN patterns.
+    (r".*experts/linear1/kernel", P("ep", None, "tp")),
+    (r".*experts/linear1/bias", P("ep", "tp")),
+    (r".*experts/linear2/kernel", P("ep", "tp", None)),
+    (r".*experts/linear2/bias", P("ep")),
     (r".*depth_projection.*kernel", P(None, "tp")),
     (r".*ffn/linear1/kernel", P(None, "tp")),
     (r".*ffn/linear1/bias", P("tp")),
@@ -123,17 +136,18 @@ def _spec_for_path(path: str, shape) -> P:
 def param_shardings(mesh: Mesh, params: Any) -> Any:
     """NamedSharding tree for a param/batch_stats pytree: TP rules where they
     match and divide evenly, replicated otherwise."""
-    tp = mesh.shape["tp"]
-
     def assign(path, leaf):
         name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
         spec = _spec_for_path(name, leaf.shape)
         if spec != P():
-            # verify divisibility on the sharded axis
-            for dim, axis in enumerate(spec):
-                if axis == "tp" and leaf.shape[dim] % tp != 0:
-                    spec = P()
-                    break
+            # verify divisibility on every sharded axis; drop only the
+            # axes that don't divide (e.g. keep 'ep' when 'tp' doesn't fit)
+            dims = [
+                None if (a is not None and leaf.shape[d] % mesh.shape[a] != 0)
+                else a
+                for d, a in enumerate(spec)
+            ]
+            spec = P(*dims) if any(a is not None for a in dims) else P()
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(assign, params)

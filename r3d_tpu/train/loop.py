@@ -295,11 +295,21 @@ class Trainer:
                         batch.get("query_len"))
             else:
                 args = (batch["features"], mask)
+            # 'losses' collects per-layer aux terms sown by MoE FFNs
+            # (models/moe.py); empty for dense models
             outputs, mutated = model.apply(
                 variables, *args, train=True,
-                rngs={"dropout": step_rng}, mutable=["batch_stats"],
+                rngs={"dropout": step_rng}, mutable=["batch_stats", "losses"],
             )
             total, metrics = self._losses(outputs, batch, epoch, train=True)
+            moe_w = self.config.model.moe_aux_weight
+            if self.config.model.moe_experts > 0 and moe_w > 0.0:
+                aux = sum(
+                    jnp.sum(jnp.asarray(v))
+                    for v in jax.tree.leaves(mutated.get("losses", {}))
+                )
+                total = total + moe_w * aux
+                metrics = dict(metrics, moe_aux=aux, loss=total)
             return total, (metrics, mutated.get("batch_stats", {}))
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(

@@ -29,11 +29,16 @@ def mesh8():
 
 
 def test_mesh_shapes(mesh8):
-    assert mesh8.shape == {"dp": 4, "tp": 2, "sp": 1, "pp": 1}
+    assert mesh8.shape == {"dp": 4, "ep": 1, "tp": 2, "sp": 1, "pp": 1}
     assert make_mesh(dp=2, tp=1, sp=4).shape == {
-        "dp": 2, "tp": 1, "sp": 4, "pp": 1
+        "dp": 2, "ep": 1, "tp": 1, "sp": 4, "pp": 1
     }
-    assert make_mesh(dp=2, pp=4).shape == {"dp": 2, "tp": 1, "sp": 1, "pp": 4}
+    assert make_mesh(dp=2, pp=4).shape == {
+        "dp": 2, "ep": 1, "tp": 1, "sp": 1, "pp": 4
+    }
+    assert make_mesh(dp=2, ep=4).shape == {
+        "dp": 2, "ep": 4, "tp": 1, "sp": 1, "pp": 1
+    }
 
 
 def test_param_sharding_rules(mesh8):
@@ -471,6 +476,8 @@ def test_cli_train_automesh(tmp_path):
     logs = []
     trainer, state, _ = cli_train(cfg, seed=1, log=logs.append)
     assert trainer.mesh is not None
-    assert dict(trainer.mesh.shape) == {"dp": 8, "tp": 1, "sp": 1, "pp": 1}
+    assert dict(trainer.mesh.shape) == {
+        "dp": 8, "ep": 1, "tp": 1, "sp": 1, "pp": 1
+    }
     assert any("mesh" in str(l) for l in logs)
     assert np.isfinite(float(jnp.sum(jax.tree.leaves(state.params)[0])))
