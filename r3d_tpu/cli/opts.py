@@ -50,6 +50,9 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
     p.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="device-side step batching: one dispatch scans this "
                         "many train steps (Trainer.make_multi_step)")
+    p.add_argument("--grad_accum", type=int, default=None,
+                   help="gradient accumulation: one optimizer update from "
+                        "the mean gradient over this many batches")
     p.add_argument("--tensorboard", action="store_true", default=None,
                    help="mirror metrics to TensorBoard event files "
                         "(native writer; JSONL always on)")
@@ -135,6 +138,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         ("warmup_epochs", "warmup_epochs"), ("lr", "lr"),
         ("weight_decay", "weight_decay"),
         ("steps_per_dispatch", "steps_per_dispatch"),
+        ("grad_accum", "grad_accum"),
         ("device_cache", "device_cache"),
         ("tensorboard", "tensorboard"),
         ("rng_impl", "rng_impl"), ("opt_mu_dtype", "opt_mu_dtype"),

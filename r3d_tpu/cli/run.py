@@ -90,8 +90,11 @@ def train(config: Config, seed: int, dataset_ops: str = "",
     metrics = MetricsLogger(path, run_name=f"seed_{seed}_metrics",
                             tensorboard=config.train.tensorboard)
     cache = hybrid = None
-    if (config.train.device_cache and not config.data.raw_frames
+    if (config.train.device_cache and config.train.grad_accum <= 1
+            and not config.data.raw_frames
             and config.data.gaze_dir is None):
+        # grad_accum trains through fit()'s microbatch stacking; the cached
+        # scan paths update per batch and would silently change semantics
         from r3d_tpu.data.device_cache import cache_from_source
 
         try:

@@ -214,6 +214,13 @@ class TrainConfig:
     # per-step host dispatch latency; semantically identical to sequential
     # steps (equivalence-tested). 1 = one dispatch per step.
     steps_per_dispatch: int = 1
+    # gradient accumulation: one optimizer update from the MEAN gradient
+    # over this many consecutive loader batches (Trainer.make_accum_step) —
+    # effective batch grad_accum x batch_size at one microbatch's activation
+    # footprint. BN stats update per microbatch; state.step counts UPDATES.
+    # Mutually exclusive with steps_per_dispatch > 1; > 1 keeps the host
+    # loader (the cached scan paths update per batch).
+    grad_accum: int = 1
     # device-resident dataset (data/device_cache.py): land the train set in
     # HBM once, assemble batches by on-device gather — zero per-step H2D.
     # Falls back to the host loader when the data doesn't fit (or the loop

@@ -272,21 +272,14 @@ class Trainer:
         return jax.random.key(seed, impl=impl)
 
     # ------------------------------------------------------------- train step
-    def _train_step_core(self, state: TrainState, batch, rng, epoch):
-        """One un-jitted train step: forward, losses, backward, AdamW, BN.
-
-        Shared by make_train_step (jit) and make_multi_step (lax.scan body);
-        pure so both paths are semantically identical.
-        """
+    def _grad_core(self, params, batch_stats, batch, step_rng, epoch):
+        """Forward + losses + backward for ONE (micro)batch: returns
+        (grads, metrics, new_batch_stats). Shared by the full train step
+        and make_accum_step's gradient-accumulation scan."""
         model, is_fusion = self.model, self.is_fusion
-        tx = self.tx
-        # derive the per-step dropout key INSIDE the jitted step: the
-        # caller passes one base key per epoch instead of host-splitting
-        # every step (each host-side split is an extra dispatch)
-        step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+            variables = {"params": params, "batch_stats": batch_stats}
             mask = batch["past_label"] == self.pad_idx
             if is_fusion:
                 args = (batch["features"], batch["depth_features"], mask)
@@ -312,10 +305,25 @@ class Trainer:
                 metrics = dict(metrics, moe_aux=aux, loss=total)
             return total, (metrics, mutated.get("batch_stats", {}))
 
-        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+        (_, (metrics, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params)
-        state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
+        )(params)
+        return grads, metrics, new_bs
+
+    def _train_step_core(self, state: TrainState, batch, rng, epoch):
+        """One un-jitted train step: forward, losses, backward, AdamW, BN.
+
+        Shared by make_train_step (jit) and make_multi_step (lax.scan body);
+        pure so both paths are semantically identical.
+        """
+        # derive the per-step dropout key INSIDE the jitted step: the
+        # caller passes one base key per epoch instead of host-splitting
+        # every step (each host-side split is an extra dispatch)
+        step_rng = jax.random.fold_in(rng, state.step)
+        grads, metrics, new_bs = self._grad_core(
+            state.params, state.batch_stats, batch, step_rng, epoch
+        )
+        state = state.apply_gradients(grads, self.tx, new_batch_stats=new_bs)
         return state, metrics
 
     def make_train_step(self):
@@ -347,6 +355,48 @@ class Trainer:
             return state, jax.tree.map(lambda m: jnp.sum(m, axis=0), per_step)
 
         return multi_step
+
+    def make_accum_step(self):
+        """One optimizer update from the MEAN gradient over K stacked
+        microbatches (TrainConfig.grad_accum): train at an effective batch
+        of K x batch_size with the activation footprint of one microbatch.
+
+        The reference has no equivalent (one backward = one optimizer step,
+        train/train_proposed_depth.py:150-156). Semantics: gradients
+        average with equal microbatch weighting; BN running stats update
+        sequentially per microbatch (exactly K small forwards); the
+        dropout key folds the microbatch index so masks decorrelate;
+        metrics return as the mean over microbatches. state.step advances
+        once per UPDATE, so the LR schedule sees the effective batch.
+        """
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def accum_step(state: TrainState, stacked_batch, rng, epoch):
+            K = jax.tree.leaves(stacked_batch)[0].shape[0]
+            base = jax.random.fold_in(rng, state.step)
+
+            def body(carry, xs):
+                bs, gsum = carry
+                i, batch = xs
+                g, m, new_bs = self._grad_core(
+                    state.params, bs, batch,
+                    jax.random.fold_in(base, i), epoch,
+                )
+                gsum = jax.tree.map(jnp.add, gsum, g)
+                return (new_bs, gsum), m
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (new_bs, gsum), per = jax.lax.scan(
+                body, (state.batch_stats, zeros),
+                (jnp.arange(K), stacked_batch),
+            )
+            grads = jax.tree.map(lambda g: g / K, gsum)
+            state = state.apply_gradients(
+                grads, self.tx, new_batch_stats=new_bs
+            )
+            return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), per)
+
+        return accum_step
 
     def make_cached_train_fn(self, cache):
         """Train steps that ASSEMBLE their batches on device from a
@@ -446,8 +496,18 @@ class Trainer:
         cfg = self.config.train
         train_step = self.make_train_step()
         eval_step = self.make_eval_step()
-        K = max(1, cfg.steps_per_dispatch)
-        multi_step = self.make_multi_step() if K > 1 else None
+        accum = max(1, cfg.grad_accum)
+        if accum > 1 and cfg.steps_per_dispatch > 1:
+            raise ValueError(
+                "grad_accum and steps_per_dispatch are mutually exclusive: "
+                "one stacks microbatches per UPDATE, the other updates per "
+                "scanned step"
+            )
+        K = accum if accum > 1 else max(1, cfg.steps_per_dispatch)
+        multi_step = (
+            self.make_accum_step() if accum > 1
+            else self.make_multi_step() if K > 1 else None
+        )
         rng = jax.random.fold_in(self._base_key(seed), start_epoch)
 
         def host_batches(loader):
@@ -573,14 +633,16 @@ class Trainer:
                 dispatch_groups(host_batches(train_loader))
             ):
                 if n_steps > 1:
-                    # one dispatch, n_steps scanned train steps (metrics
-                    # arrive pre-summed over the stack)
+                    # one dispatch: either n_steps scanned train steps
+                    # (metrics pre-summed) or ONE grad-accumulated update
+                    # over n_steps microbatches (metrics pre-meaned)
                     state, metrics = multi_step(state, batch, epoch_rng, epoch)
                     n_clips += batch["features"].shape[0] * batch["features"].shape[1]
+                    n_batches += 1 if accum > 1 else n_steps
                 else:
                     state, metrics = train_step(state, batch, epoch_rng, epoch)
                     n_clips += batch["features"].shape[0]
-                n_batches += n_steps
+                    n_batches += 1
                 for k, v in metrics.items():
                     agg_dev[k] = agg_dev.get(k, 0.0) + v
 
