@@ -31,13 +31,26 @@ from r3d_tpu.models import build_model, is_fusion_model
 
 class InferenceSession:
     def __init__(self, config: Config, variables, n_class: int,
-                 max_batch: int = 8):
+                 max_batch: int = 8, mesh=None):
         self.config = config
         self.n_class = n_class
         self.max_batch = max_batch
         self.model = build_model(config.model, n_class)
         self.is_fusion = is_fusion_model(config.model.model)
-        self.variables = jax.device_put(variables)
+        # mesh: serve multi-chip — params follow the TP/EP sharding rules,
+        # request batches shard over dp (mirrors Predictor(mesh=...));
+        # outputs are sharding-invariant (tests/test_serving.py)
+        self.mesh = mesh
+        if mesh is not None:
+            from r3d_tpu.parallel.mesh import param_shardings, set_active_mesh
+
+            set_active_mesh(mesh)
+            self.variables = jax.tree.map(
+                lambda p, sh: jax.device_put(p, sh), variables,
+                param_shardings(mesh, variables),
+            )
+        else:
+            self.variables = jax.device_put(variables)
         self._forward = jax.jit(
             lambda v, *args: self.model.apply(v, *args, train=False)
         )
@@ -168,10 +181,18 @@ class InferenceSession:
 
     def _run(self, feats, depth, mask) -> Dict:
         """One padded chunk -> model outputs (async jax values)."""
-        args = [jnp.asarray(feats)]
-        if depth is not None:
-            args.append(jnp.asarray(depth))
-        args.append(jnp.asarray(mask))
+        args = [feats] + ([depth] if depth is not None else []) + [mask]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # pow2-padded request batches shard over dp when they divide
+            # (dp is normally a power of two); odd remainders replicate
+            dp = self.mesh.shape.get("dp", 1)
+            B = np.shape(feats)[0]
+            sh = NamedSharding(self.mesh, P("dp") if B % dp == 0 else P())
+            args = [jax.device_put(np.asarray(a), sh) for a in args]
+        else:
+            args = [jnp.asarray(a) for a in args]
         return self._forward(self.variables, *args)
 
     def export(self, path: str) -> None:
@@ -185,6 +206,12 @@ class InferenceSession:
         import os
 
         from jax import export as jexport
+
+        if self.mesh is not None:
+            raise ValueError(
+                "export() is single-device (the artifact embeds replicated "
+                "params); build the session without a mesh to export"
+            )
 
         os.makedirs(path, exist_ok=True)
         cfg = self.config

@@ -165,3 +165,46 @@ def test_session_from_checkpoint(disk_dataset, tmp_path):  # noqa: F811
         np.testing.assert_array_equal(a["transcript"], b["transcript"])
         np.testing.assert_array_equal(a["future_frames"], b["future_frames"])
         np.testing.assert_array_equal(a["seg"], b["seg"])
+
+
+def test_session_on_mesh_matches_single_device(disk_dataset, tmp_path):  # noqa: F811
+    """InferenceSession(mesh=...): dp-sharded request batches + TP/EP param
+    shardings produce the same decoded results as the plain session."""
+    from r3d_tpu.parallel.mesh import make_mesh, set_active_mesh
+
+    cfg = get_config("utkinects").replace(
+        data=make_cfg(disk_dataset),
+        model=small_model_cfg(),
+        train=TrainConfig(loop="proposed_depth", min_train_batch=0,
+                          batch_size=4),
+    )
+    source = build_source(cfg.data, "train_split.txt")
+    loader = build_loader(source, cfg.data, 4, cfg.model.n_query, mode="train")
+    trainer = Trainer(cfg, source.n_class)
+    batch = next(iter(loader))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, steps_per_epoch=1)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    v0 = source.load_video(source.vid_list[0])
+    vids = [
+        {"features": v0["features"][:n], "depth": v0["depth"][:n]}
+        for n in (30, 20, 25)
+    ]
+
+    plain = InferenceSession(cfg, variables, source.n_class, max_batch=4)
+    ref = plain.anticipate_batch(vids, future_len=25)
+
+    try:
+        mesh = make_mesh(dp=4, tp=2)
+        sess = InferenceSession(
+            cfg, variables, source.n_class, max_batch=4, mesh=mesh
+        )
+        out = sess.anticipate_batch(vids, future_len=25)
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(a["transcript"], b["transcript"])
+            np.testing.assert_array_equal(a["future_frames"], b["future_frames"])
+            np.testing.assert_allclose(a["seg"], b["seg"], atol=1e-5)
+        with pytest.raises(ValueError, match="single-device"):
+            sess.export(str(tmp_path / "exp"))
+    finally:
+        set_active_mesh(None)
