@@ -32,6 +32,13 @@ one-hot matmuls; no dynamic shapes, no host control flow):
   scaled by ``ModelConfig.moe_aux_weight`` when the collection is marked
   mutable (train/loop.py).  At eval the sow is a no-op.
 
+Measured (tools/measure_moe.py, v5e single chip, same-process interleaved
+A/B at the 50salads published shape, B=8 S=3100 h=512 bf16): dense 11.1M
+params 10.18 ms/step vs MoE E=4 23.7M params 9.83 ms/step (top-2) /
+9.59 ms (top-1) — the routing + one-hot dispatch overhead is within
+timing noise; the step stays attention/bandwidth-dominated, so MoE buys
+2.1x parameter capacity at unchanged step time on this workload.
+
 Sharding notes: with B dp-sharded and experts ep-sharded, the dispatch
 contraction reduces over the dp-sharded token axis into ep-sharded
 [E, cap, C] blocks — GSPMD lowers that to an all-to-all + local matmul.
