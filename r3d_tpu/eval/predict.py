@@ -24,6 +24,7 @@ import numpy as np
 
 from r3d_tpu.config import Config
 from r3d_tpu.data.datasets import VideoSource
+from r3d_tpu.parallel.mesh import mesh_scope
 from r3d_tpu.data.pipeline import bucket_length
 from r3d_tpu.eval.decode import decode_anticipation
 from r3d_tpu.eval.moc import MoCAccumulator
@@ -92,9 +93,6 @@ class Predictor:
         if mesh is not None:
             dp = mesh.shape.get("dp", 1)
             self.eval_batch = -(-eval_batch // dp) * dp
-            from r3d_tpu.parallel.mesh import set_active_mesh
-
-            set_active_mesh(mesh)  # row-parallel Pallas ops shard_map on dp
         # query-conditioned family (reference predict_with_query/predict.py:74:
         # model(inputs, query, mode='test'))
         self.needs_query = config.model.model in (
@@ -243,12 +241,14 @@ class Predictor:
             # seed-ensemble: average the output heads (logits/durations)
             # across checkpoints — an extension over the reference, which
             # averages per-seed ACCURACIES (main_utkinects.py:152-165)
-            outs = [self._jit_forward(v, *args) for v in variables]
+            with mesh_scope(self.mesh):
+                outs = [self._jit_forward(v, *args) for v in variables]
             outputs = {
                 k: sum(o[k] for o in outs) / len(outs) for k in outs[0]
             }
         else:
-            outputs = self._jit_forward(variables, *args)
+            with mesh_scope(self.mesh):
+                outputs = self._jit_forward(variables, *args)
         return {k: np.array(v[:n], np.float32) for k, v in outputs.items()}
 
     def _forward_batch_cached(self, variables, items: List[Dict], S: int,
@@ -269,15 +269,19 @@ class Predictor:
             vid = jax.device_put(jnp.asarray(vid), sh)
             real_s = jax.device_put(jnp.asarray(real_s), sh)
         if isinstance(variables, (list, tuple)):
-            outs = [
-                self._cached_forward(v, data, vid, real_s, S)
-                for v in variables
-            ]
+            with mesh_scope(self.mesh):
+                outs = [
+                    self._cached_forward(v, data, vid, real_s, S)
+                    for v in variables
+                ]
             outputs = {
                 k: sum(o[k] for o in outs) / len(outs) for k in outs[0]
             }
         else:
-            outputs = self._cached_forward(variables, data, vid, real_s, S)
+            with mesh_scope(self.mesh):
+                outputs = self._cached_forward(
+                    variables, data, vid, real_s, S
+                )
         return {
             k: np.array(v[: len(items)], np.float32)
             for k, v in outputs.items()

@@ -199,22 +199,25 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, kernel_init=xavier, dtype=self.dtype, name="linear2")(h)
 
 
-def _make_ffn(parent_cfg, name="ffn"):
+def _apply_ffn(layer, x, deterministic, pad_mask=None, name="ffn"):
     """Dense FFN, or MoE when the layer carries moe_experts > 0
-    (models/moe.py; reference FFNs are always dense, transformer.py:200)."""
-    if parent_cfg.moe_experts > 0:
+    (models/moe.py; reference FFNs are always dense, transformer.py:200).
+    ``pad_mask`` (the layer's key-padding mask) keeps bucket padding out
+    of MoE expert capacity and balance statistics; dense FFNs are
+    per-token so they never need it."""
+    if layer.moe_experts > 0:
         from r3d_tpu.models.moe import MoEFeedForward
 
         return MoEFeedForward(
-            parent_cfg.dim, parent_cfg.ffn_dim,
-            n_experts=parent_cfg.moe_experts, top_k=parent_cfg.moe_top_k,
-            capacity_factor=parent_cfg.moe_capacity_factor,
-            dropout=parent_cfg.dropout, dtype=parent_cfg.dtype, name=name,
-        )
+            layer.dim, layer.ffn_dim,
+            n_experts=layer.moe_experts, top_k=layer.moe_top_k,
+            capacity_factor=layer.moe_capacity_factor,
+            dropout=layer.dropout, dtype=layer.dtype, name=name,
+        )(x, deterministic, pad_mask)
     return FeedForward(
-        parent_cfg.dim, parent_cfg.ffn_dim, parent_cfg.dropout,
-        dtype=parent_cfg.dtype, name=name,
-    )
+        layer.dim, layer.ffn_dim, layer.dropout,
+        dtype=layer.dtype, name=name,
+    )(x, deterministic)
 
 
 class EncoderLayer(nn.Module):
@@ -245,7 +248,7 @@ class EncoderLayer(nn.Module):
         )(qkv, qkv, qkv, key_padding_mask, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src)
-        ffn = _make_ffn(self)(src, deterministic)
+        ffn = _apply_ffn(self, src, deterministic, key_padding_mask)
         src = src + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src)
 
@@ -301,7 +304,7 @@ class DecoderLayer(nn.Module):
         tgt = tgt + nn.Dropout(self.dropout)(ca, deterministic=deterministic)
         tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt)
 
-        ffn = _make_ffn(self)(tgt, deterministic)
+        ffn = _apply_ffn(self, tgt, deterministic, tgt_key_padding_mask)
         tgt = tgt + nn.Dropout(self.dropout)(ffn, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt)
 

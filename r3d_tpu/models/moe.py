@@ -72,7 +72,17 @@ class MoEFeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 pad_mask=None) -> jnp.ndarray:
+        """``pad_mask`` [B, L] (True = bucket padding): pad tokens are
+        excluded from expert capacity (they can't shed real tokens — the
+        cumsum priority is token-order, so an early pad row would
+        otherwise outrank every real token behind it) and from the
+        balance loss's f/P statistics (review finding: on a 60-frame
+        video in the 128 bucket, >50% of tokens are padding — unmasked,
+        the aux loss optimizes the routing of junk). Their output rows
+        are zero; every consumer masks pad rows anyway (attention key
+        masks, length-aware pools, masked losses)."""
         B, L, C = x.shape
         T = B * L
         E = self.n_experts
@@ -81,22 +91,36 @@ class MoEFeedForward(nn.Module):
         cap = min(cap, T)
 
         xt = x.reshape(T, C)
+        valid = (
+            jnp.ones((T,), jnp.float32) if pad_mask is None
+            else 1.0 - pad_mask.reshape(T).astype(jnp.float32)
+        )
         logits = nn.Dense(
             E, use_bias=False, dtype=jnp.float32, name="router"
         )(xt.astype(jnp.float32))
         probs = jax.nn.softmax(logits, axis=-1)                  # [T, E] fp32
         gate_vals, gate_idx = jax.lax.top_k(probs, K)            # [T, K]
-        gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
+        if K > 1:
+            gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
+        # K == 1 keeps the RAW softmax prob as the gate (the Switch top-1
+        # convention): renormalizing would make the gate identically 1.0 —
+        # a constant — severing the router from the task-loss gradient
+        # (review finding; the one-hot dispatch itself is piecewise
+        # constant, so the gate is the only differentiable routing path)
 
         # k-major flattening: all first choices queue before any second
         # choice, so capacity overflow sheds the lowest-gate assignments
         idx_flat = gate_idx.T.reshape(K * T)                     # [K*T]
         gate_flat = gate_vals.T.reshape(K * T)
-        onehot = jax.nn.one_hot(idx_flat, E, dtype=jnp.int32)
+        valid_flat = jnp.tile(valid, K)
+        onehot = (
+            jax.nn.one_hot(idx_flat, E, dtype=jnp.int32)
+            * valid_flat[:, None].astype(jnp.int32)
+        )
         pos = jnp.sum(jnp.cumsum(onehot, axis=0) * onehot, axis=-1) - 1
-        keep = (pos < cap).astype(jnp.float32)
+        keep = ((pos < cap) & (pos >= 0)).astype(jnp.float32)
 
-        de = jax.nn.one_hot(idx_flat, E, dtype=jnp.float32) * keep[:, None]
+        de = onehot.astype(jnp.float32) * keep[:, None]
         dc = jax.nn.one_hot(jnp.clip(pos, 0, cap - 1), cap, dtype=jnp.float32)
         dispatch = jnp.einsum("te,tc->tec", de, dc)              # [K*T, E, cap]
 
@@ -124,10 +148,16 @@ class MoEFeedForward(nn.Module):
         y = yt.reshape(K, T, C).sum(0)
 
         # Switch load-balancing loss (Fedus et al. eq. 4): first-choice
-        # token fractions vs mean router probability, scaled by E so a
-        # perfectly uniform router scores 1.0
-        f = jnp.mean(jax.nn.one_hot(gate_idx[:, 0], E, dtype=jnp.float32), 0)
-        P = jnp.mean(probs, axis=0)
+        # token fractions vs mean router probability over the VALID tokens
+        # only, scaled by E so a perfectly uniform router scores 1.0
+        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+        f = (
+            jnp.sum(
+                jax.nn.one_hot(gate_idx[:, 0], E, dtype=jnp.float32)
+                * valid[:, None], axis=0,
+            ) / n_valid
+        )
+        P = jnp.sum(probs * valid[:, None], axis=0) / n_valid
         aux = E * jnp.sum(f * P)
         self.sow("losses", "moe_aux", aux)
 

@@ -109,7 +109,15 @@ class TransformerDecoder(nn.Module):
         (global layer, microbatch) by fold_in — a different mask
         realization than the sequential path's flax-internal stream, so
         train-mode stochastic draws differ (equally valid; the
-        equivalence tests pin dropout=0)."""
+        equivalence tests pin dropout=0).
+
+        Cost note: the jnp.stack of the layer subtrees (and its transpose
+        split in the backward) executes inside every train step — one
+        device-side copy of the decoder params per step plus the reshard
+        to P('pp'). Negligible against the activations for this model
+        family's decoders (h<=512, <=4 layers); storing decoder params
+        pre-stacked [L, ...] would eliminate it at the price of a
+        pp-specific checkpoint layout."""
         import jax
 
         from r3d_tpu.parallel.pipeline import gpipe

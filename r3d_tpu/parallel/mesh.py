@@ -57,19 +57,28 @@ def active_mesh() -> Optional[Mesh]:
 
 
 @contextlib.contextmanager
+def mesh_scope(mesh: Optional[Mesh]):
+    """Pin the active mesh for the duration of a trace, restoring the
+    previous one after. Long-lived objects that own a mesh (serving
+    sessions, predictors) trace their jitted calls inside this scope so
+    a mesh session and a plain session can coexist in one process
+    without the module-global leaking between them."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
+
+
 def suppress_active_mesh():
     """Hide the active mesh while TRACING the body of an explicit
     shard_map (the pp pipeline): mesh-aware ops called inside would try
     to shard_map themselves again over axes that are already bound.
     Trace-time only — the contextmanager wraps the shard_map call, and
     every active_mesh() read happens during that trace."""
-    global _ACTIVE_MESH
-    prev = _ACTIVE_MESH
-    _ACTIVE_MESH = None
-    try:
-        yield
-    finally:
-        _ACTIVE_MESH = prev
+    return mesh_scope(None)
 
 
 def make_mesh(

@@ -39,12 +39,13 @@ class InferenceSession:
         self.is_fusion = is_fusion_model(config.model.model)
         # mesh: serve multi-chip — params follow the TP/EP sharding rules,
         # request batches shard over dp (mirrors Predictor(mesh=...));
-        # outputs are sharding-invariant (tests/test_serving.py)
+        # outputs are sharding-invariant (tests/test_serving.py). The mesh
+        # is pinned only while _run traces (mesh_scope), so mesh and plain
+        # sessions coexist in one process without global leakage.
         self.mesh = mesh
         if mesh is not None:
-            from r3d_tpu.parallel.mesh import param_shardings, set_active_mesh
+            from r3d_tpu.parallel.mesh import param_shardings
 
-            set_active_mesh(mesh)
             self.variables = jax.tree.map(
                 lambda p, sh: jax.device_put(p, sh), variables,
                 param_shardings(mesh, variables),
@@ -181,6 +182,8 @@ class InferenceSession:
 
     def _run(self, feats, depth, mask) -> Dict:
         """One padded chunk -> model outputs (async jax values)."""
+        from r3d_tpu.parallel.mesh import mesh_scope
+
         args = [feats] + ([depth] if depth is not None else []) + [mask]
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -193,7 +196,8 @@ class InferenceSession:
             args = [jax.device_put(np.asarray(a), sh) for a in args]
         else:
             args = [jnp.asarray(a) for a in args]
-        return self._forward(self.variables, *args)
+        with mesh_scope(self.mesh):
+            return self._forward(self.variables, *args)
 
     def export(self, path: str) -> None:
         """Write a self-contained deployment artifact: one AOT-compiled

@@ -84,7 +84,18 @@ class Trainer:
     # ------------------------------------------------------------------ setup
     def init_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray],
                    steps_per_epoch: int) -> TrainState:
-        self.tx = make_optimizer(self.config.train, steps_per_epoch)
+        # the schedule advances on optax's internal UPDATE count; under
+        # gradient accumulation an epoch of steps_per_epoch batches makes
+        # only full-stack + leftover-single updates, so scale the schedule's
+        # epoch length accordingly (review finding: without this the warmup
+        # ran K x too slowly, starting at pl_bolts' epoch-0 lr of 0.0)
+        ga = max(1, self.config.train.grad_accum)
+        sched_steps = (
+            steps_per_epoch if ga == 1
+            else max(1, steps_per_epoch // ga + steps_per_epoch % ga)
+        )
+        self.sched_steps_per_epoch = sched_steps
+        self.tx = make_optimizer(self.config.train, sched_steps)
         inputs = self._model_inputs(example_batch, with_mask=False)
         return create_train_state(rng, self.model, self.tx, inputs)
 
@@ -367,7 +378,12 @@ class Trainer:
         sequentially per microbatch (exactly K small forwards); the
         dropout key folds the microbatch index so masks decorrelate;
         metrics return as the mean over microbatches. state.step advances
-        once per UPDATE, so the LR schedule sees the effective batch.
+        by K — it counts CONSUMED LOADER BATCHES on every path, so the
+        pl_bolts schedule's epoch arithmetic (optim.py: epoch =
+        step // steps_per_epoch) and --resume's epoch reconstruction
+        (cli/run.py) stay correct without accumulation-awareness
+        (review finding: advancing once per update starved the warmup at
+        lr=0 for the first K epochs and broke resume).
         """
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -394,6 +410,7 @@ class Trainer:
             state = state.apply_gradients(
                 grads, self.tx, new_batch_stats=new_bs
             )
+            state = state.replace(step=state.step + (K - 1))
             return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), per)
 
         return accum_step

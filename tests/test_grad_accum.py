@@ -71,7 +71,9 @@ def test_accum_of_identical_microbatches_is_one_step():
     state2, m2 = trainer.make_accum_step()(state2, _stack([batch] * 4), rng, 0)
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
-    assert int(state1.step) == int(state2.step) == 1
+    # step counts CONSUMED LOADER BATCHES on every path (schedule/resume
+    # arithmetic stays accumulation-agnostic)
+    assert int(state1.step) == 1 and int(state2.step) == 4
     diff = jax.tree.map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         state1.params, state2.params,
@@ -141,9 +143,12 @@ def test_fit_with_grad_accum_runs_and_counts_updates():
     )
     logs = []
     state = trainer.fit(state, loader, loader, seed=1, log=logs.append)
-    # every full pair of same-shape batches becomes ONE update
-    n_batches = len(loader)
-    assert int(state.step) == n_batches // 2 + (n_batches % 2)
+    # step counts loader batches regardless of how they grouped into
+    # updates, so resume's epoch math (step // len(loader)) stays exact
+    assert int(state.step) == len(loader)
+    # ... while the LR schedule's epoch length counts UPDATES
+    n = len(loader)
+    assert trainer.sched_steps_per_epoch == n // 2 + n % 2
     assert any("Epoch" in l for l in logs)
 
 

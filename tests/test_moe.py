@@ -66,7 +66,9 @@ def test_moe_capacity_overflow_drops_tokens():
     dense_vars = dense.init(jax.random.PRNGKey(1), x)
 
     # zero router logits => every token's top-1 is expert 0 (top_k tie
-    # break picks the lowest index); capacity_factor 1.0 => cap = T/E
+    # break picks the lowest index); capacity_factor 1.0 => cap = T/E.
+    # top-1 keeps the RAW softmax prob (1/E here) as the gate — the
+    # Switch convention; renormalizing would sever the router's gradient
     moe = MoEFeedForward(C, H, n_experts=E, top_k=1, capacity_factor=1.0)
     moe_vars = moe.init(jax.random.PRNGKey(2), x)
     params = dict(moe_vars["params"])
@@ -75,9 +77,71 @@ def test_moe_capacity_overflow_drops_tokens():
     out = np.asarray(moe.apply({"params": params}, x)).reshape(T, C)
 
     cap = T // E
-    ref = np.asarray(dense.apply(dense_vars, x)).reshape(T, C)
+    ref = np.asarray(dense.apply(dense_vars, x)).reshape(T, C) / E
     np.testing.assert_allclose(out[:cap], ref[:cap], atol=1e-5)
     np.testing.assert_array_equal(out[cap:], np.zeros((T - cap, C)))
+
+
+def test_moe_top1_router_gets_task_gradient():
+    """The top-1 gate is the raw softmax prob, so the task loss reaches
+    the router (review finding: a renormalized top-1 gate is identically
+    1.0 and the router would train only through the aux loss)."""
+    C, H, E = 8, 16, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, C))
+    moe = MoEFeedForward(C, H, n_experts=E, top_k=1)
+    variables = moe.init(jax.random.PRNGKey(1), x)
+
+    def task_loss(params):
+        return jnp.sum(moe.apply({"params": params}, x) ** 2)
+
+    g = jax.grad(task_loss)(variables["params"])
+    assert float(jnp.abs(g["router"]["kernel"]).max()) > 0.0
+
+
+def test_moe_pad_mask_excludes_padding():
+    """Pad tokens neither claim expert capacity nor enter the balance
+    statistics (review finding): with ample capacity a padded batch plus
+    the mask reproduces the unpadded outputs AND aux loss exactly; at
+    tight capacity the mask is what keeps early pad rows from shedding
+    every real token behind them."""
+    C, H, E = 8, 16, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, C))
+    # pads FIRST: token-order priority would hand them the capacity
+    xp = jnp.concatenate([jnp.zeros((1, 8, C)), x], axis=1)
+    pad = jnp.concatenate(
+        [jnp.ones((1, 8), bool), jnp.zeros((1, 8), bool)], axis=1
+    )
+
+    # ample capacity (no shedding on either arm): exact equality
+    moe = MoEFeedForward(C, H, n_experts=E, top_k=2, capacity_factor=2.0)
+    variables = moe.init(jax.random.PRNGKey(1), x)
+    ref, mut_ref = moe.apply(
+        {"params": variables["params"]}, x, mutable=["losses"]
+    )
+    (aux_ref,) = jax.tree.leaves(mut_ref["losses"])
+    out, mut = moe.apply(
+        {"params": variables["params"]}, xp, pad_mask=pad,
+        mutable=["losses"],
+    )
+    (aux,) = jax.tree.leaves(mut["losses"])
+    np.testing.assert_allclose(
+        np.asarray(out[:, 8:]), np.asarray(ref), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(out[:, :8]), 0.0)
+    np.testing.assert_allclose(float(aux), float(aux_ref), rtol=1e-6)
+
+    # tight capacity, zero router => all top-1 to expert 0, cap = T/E = 4:
+    # unmasked, the 8 leading pads fill expert 0 and EVERY real token
+    # drops; masked, the first 4 real tokens are served
+    moe_t = MoEFeedForward(C, H, n_experts=E, top_k=1, capacity_factor=1.0)
+    v_t = moe_t.init(jax.random.PRNGKey(2), x)
+    params = dict(v_t["params"])
+    params["router"] = jax.tree.map(jnp.zeros_like, params["router"])
+    out_unmasked = moe_t.apply({"params": params}, xp)
+    np.testing.assert_array_equal(np.asarray(out_unmasked[:, 8:]), 0.0)
+    out_masked = moe_t.apply({"params": params}, xp, pad_mask=pad)
+    assert float(jnp.abs(out_masked[:, 8:12]).max()) > 0.0
+    np.testing.assert_array_equal(np.asarray(out_masked[:, 12:]), 0.0)
 
 
 def test_moe_aux_loss_sown():
