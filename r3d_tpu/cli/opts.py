@@ -104,6 +104,10 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
                        help=f"{what}-parallel mesh extent")
     p.add_argument("--pp_microbatches", type=int, default=None,
                    help="GPipe microbatch count (0 = auto = pp)")
+    p.add_argument("--fsdp", action="store_true", default=None,
+                   help="ZeRO/FSDP: shard params + optimizer moments over "
+                        "the dp axis (per-device state memory drops "
+                        "~dp-fold; XLA inserts the gathers)")
     return p
 
 
@@ -157,6 +161,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
             mesh_over[ax] = v
     if args.pp_microbatches is not None:
         mesh_over["pp_microbatches"] = args.pp_microbatches
+    if args.fsdp is not None:
+        mesh_over["fsdp"] = args.fsdp
 
     return cfg.replace(
         data=dataclasses.replace(cfg.data, **data_over),

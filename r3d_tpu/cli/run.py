@@ -85,6 +85,13 @@ def train(config: Config, seed: int, dataset_ops: str = "",
         state = ckpt.restore_last(seed, state)
         start_epoch = int(state.step) // max(len(train_loader), 1)
         log(f"resumed seed {seed} at step {int(state.step)} (epoch {start_epoch})")
+    if mesh is not None and config.mesh.fsdp:
+        # ZeRO/FSDP: params + optimizer moments shard over dp; the jitted
+        # step propagates the placement, so one device_put pins the run
+        from r3d_tpu.parallel.mesh import shard_state
+
+        state = shard_state(state, mesh, fsdp=True)
+        log("fsdp: state sharded over dp")
     from r3d_tpu.utils.metrics import MetricsLogger
 
     metrics = MetricsLogger(path, run_name=f"seed_{seed}_metrics",

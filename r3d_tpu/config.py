@@ -298,6 +298,7 @@ class MeshConfig:
     pp: int = 1         # pipeline-parallel stages (deep-decoder configs)
     pp_microbatches: int = 0  # 0 => auto (= pp); more => smaller bubble
     ep: int = 1         # expert-parallel axis (moe_experts configs)
+    fsdp: bool = False  # ZeRO/FSDP: shard params + optimizer moments over dp
 
 
 @dataclass(frozen=True)

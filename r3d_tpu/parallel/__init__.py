@@ -4,4 +4,5 @@ from r3d_tpu.parallel.mesh import (
     replicated_sharding,
     param_shardings,
     shard_batch,
+    shard_state,
 )

@@ -142,9 +142,45 @@ def _spec_for_path(path: str, shape) -> P:
     return P()
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
-    """NamedSharding tree for a param/batch_stats pytree: TP rules where they
-    match and divide evenly, replicated otherwise."""
+# Leaves smaller than this (elements) stay replicated under FSDP: biases and
+# LN scales cost more in all-gather latency than they save in HBM.
+FSDP_MIN_ELEMS = 8192
+
+
+def _fsdp_spec(spec: P, shape, dp: int, min_elems: int) -> P:
+    """ZeRO/FSDP: put 'dp' on the largest still-unsharded axis that divides.
+
+    The reference has no counterpart (nn.DataParallel replicates everything,
+    main.py:115); this is the GSPMD recipe — params and optimizer moments
+    shard over the data axis, XLA inserts the all-gathers before use and
+    reduce-scatters the grads, so per-device state memory drops ~dp-fold.
+    """
+    if dp <= 1 or not shape:
+        return spec
+    size = 1
+    for s in shape:
+        size *= int(s)
+    if size < min_elems:
+        return spec
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    best = -1
+    for d, a in enumerate(dims):
+        if a is None and shape[d] % dp == 0 and shape[d] > 1:
+            if best == -1 or shape[d] > shape[best]:
+                best = d
+    if best == -1:
+        return spec
+    dims[best] = "dp"
+    return P(*dims)
+
+
+def param_shardings(mesh: Mesh, params: Any, fsdp: bool = False,
+                    fsdp_min_elems: int = FSDP_MIN_ELEMS) -> Any:
+    """NamedSharding tree for a param/opt-state/batch_stats pytree: TP rules
+    where they match and divide evenly, replicated otherwise. With
+    ``fsdp=True`` every large leaf additionally shards its largest free axis
+    over 'dp' (ZeRO-3 style; optimizer moments mirror param paths so the
+    same call covers opt_state)."""
     def assign(path, leaf):
         name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
         spec = _spec_for_path(name, leaf.shape)
@@ -157,9 +193,34 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
                 for d, a in enumerate(spec)
             ]
             spec = P(*dims) if any(a is not None for a in dims) else P()
+        if fsdp:
+            spec = _fsdp_spec(
+                spec, leaf.shape, mesh.shape.get("dp", 1), fsdp_min_elems
+            )
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_state(state, mesh: Mesh, fsdp: bool = False,
+                fsdp_min_elems: int = FSDP_MIN_ELEMS):
+    """Land a TrainState on the mesh: params + optimizer moments follow the
+    TP rules (+ FSDP over dp when asked), BN batch_stats and the step
+    counter replicate. The jitted train step propagates these shardings to
+    its outputs, so one placement at startup pins the whole run."""
+    rep = NamedSharding(mesh, P())
+    p_sh = param_shardings(mesh, state.params, fsdp=fsdp,
+                           fsdp_min_elems=fsdp_min_elems)
+    opt_sh = param_shardings(mesh, state.opt_state, fsdp=fsdp,
+                             fsdp_min_elems=fsdp_min_elems)
+    return state.replace(
+        step=jax.device_put(state.step, rep),
+        params=jax.tree.map(jax.device_put, state.params, p_sh),
+        opt_state=jax.tree.map(jax.device_put, state.opt_state, opt_sh),
+        batch_stats=jax.tree.map(
+            lambda x: jax.device_put(x, rep), state.batch_stats
+        ),
+    )
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:

@@ -31,12 +31,38 @@ from r3d_tpu.models import build_model, is_fusion_model
 
 class InferenceSession:
     def __init__(self, config: Config, variables, n_class: int,
-                 max_batch: int = 8, mesh=None):
+                 max_batch: int = 8, mesh=None, quantize: Optional[str] = None):
         self.config = config
         self.n_class = n_class
         self.max_batch = max_batch
         self.model = build_model(config.model, n_class)
         self.is_fusion = is_fusion_model(config.model.model)
+        self.quantize = quantize
+        if quantize is not None:
+            # int8 weight-only: kernels store as int8 + per-channel scales
+            # (ops/quant.py), dequantized inside the jitted forward — HBM
+            # keeps the int8, ~4x smaller device checkpoint
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode {quantize!r}")
+            if mesh is not None:
+                raise ValueError(
+                    "quantize is a single-device serving path (the TP rules "
+                    "key on param paths the quantized tree restructures); "
+                    "build the session without a mesh to quantize"
+                )
+            from r3d_tpu.ops.quant import dequantize_tree, quantize_tree
+
+            self.mesh = None
+            variables = dict(variables)
+            variables["params"] = quantize_tree(variables["params"])
+            self.variables = jax.device_put(variables)
+            self._forward = jax.jit(
+                lambda v, *args: self.model.apply(
+                    {**v, "params": dequantize_tree(v["params"])},
+                    *args, train=False,
+                )
+            )
+            return
         # mesh: serve multi-chip — params follow the TP/EP sharding rules,
         # request batches shard over dp (mirrors Predictor(mesh=...));
         # outputs are sharding-invariant (tests/test_serving.py). The mesh
