@@ -40,7 +40,10 @@ QUANT_MIN_ELEMS = 4096
 
 # jax.export serializes the calling convention's pytree structure; register
 # the node so export() of a quantized session works (flax.struct already
-# registered the pytree itself; the auxdata is empty for this dataclass)
+# registered the pytree itself; the auxdata is empty for this dataclass).
+# Catch narrowly: a ValueError means re-registration (benign, re-import);
+# anything import-shaped means this jax lacks the API — warn so a later
+# export() failure of a quantized session is diagnosable instead of opaque.
 try:
     from jax import export as _jexport
 
@@ -50,8 +53,16 @@ try:
         serialize_auxdata=lambda aux: b"",
         deserialize_auxdata=lambda b: (),  # flax.struct auxdata: empty tuple
     )
-except Exception:  # already registered (re-import) or jax too old
-    pass
+except ValueError:
+    pass  # already registered (module re-import)
+except (ImportError, AttributeError) as e:
+    import warnings
+
+    warnings.warn(
+        "jax.export pytree serialization unavailable; export() of a "
+        f"quantized InferenceSession will fail: {e!r}",
+        RuntimeWarning,
+    )
 
 
 def quantize_array(w: jnp.ndarray) -> QuantizedTensor:
