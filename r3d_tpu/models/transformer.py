@@ -71,10 +71,25 @@ class TransformerDecoder(nn.Module):
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos, memory_key_padding_mask=None,
                  deterministic=True, tgt_key_padding_mask=None):
-        from r3d_tpu.parallel.pipeline import pipeline_plan
+        import warnings
+
+        from r3d_tpu.parallel.mesh import active_mesh
+        from r3d_tpu.parallel.pipeline import (
+            PipelineFallbackWarning,
+            pipeline_plan,
+        )
 
         # MoE decoders keep the GSPMD path: the pipeline stage body binds
         # only 'params', which would drop the MoE aux-loss sow (moe.py)
+        if self.moe_experts > 0 and not self.is_initializing():
+            mesh = active_mesh()
+            if mesh is not None and mesh.shape.get("pp", 1) > 1:
+                warnings.warn(
+                    "mesh has pp>1 but the MoE decoder declined the pipeline"
+                    " (the stage body would drop the MoE aux-loss sow) — the"
+                    " layer stack runs sequentially under GSPMD",
+                    PipelineFallbackWarning, stacklevel=2,
+                )
         plan = (
             None if (self.is_initializing() or self.moe_experts > 0)
             else pipeline_plan(self.n_layers, tgt.shape[0], self.sow_attn)

@@ -84,19 +84,28 @@ def test_pipelined_decoder_grads_match():
 
 
 def test_pipeline_plan_fallbacks():
+    """Every pp>1 decline warns LOUDLY with the reason (VERDICT r3 weak #2 —
+    no silent GSPMD fallback); pp==1/no-mesh cases stay silent."""
+    from r3d_tpu.parallel.pipeline import PipelineFallbackWarning
+
     set_active_mesh(make_mesh(dp=2, pp=4))
     assert pipeline_plan(4, 8) is not None
-    assert pipeline_plan(3, 8) is None        # layers not stage-divisible
-    assert pipeline_plan(2, 8) is None        # fewer layers than stages
-    assert pipeline_plan(4, 8, sow_attn=True) is None
-    assert pipeline_plan(4, 6) is None        # batch not microbatchable
+    with pytest.warns(PipelineFallbackWarning, match="equal stages"):
+        assert pipeline_plan(3, 8) is None    # layers not stage-divisible
+    with pytest.warns(PipelineFallbackWarning, match="equal stages"):
+        assert pipeline_plan(2, 8) is None    # fewer layers than stages
+    with pytest.warns(PipelineFallbackWarning, match="sowing"):
+        assert pipeline_plan(4, 8, sow_attn=True) is None
+    with pytest.warns(PipelineFallbackWarning, match="microbatches"):
+        assert pipeline_plan(4, 6) is None    # batch not microbatchable
     set_pipeline_microbatches(2)
     assert pipeline_plan(4, 6) is not None    # ... unless M is set to fit
     set_pipeline_microbatches(0)
     set_active_mesh(make_mesh(dp=2, sp=2, pp=2))
-    assert pipeline_plan(4, 8) is None        # sp meshes keep GSPMD path
+    with pytest.warns(PipelineFallbackWarning, match="sp > 1"):
+        assert pipeline_plan(4, 8) is None    # sp meshes keep GSPMD path
     set_active_mesh(None)
-    assert pipeline_plan(4, 8) is None        # no mesh
+    assert pipeline_plan(4, 8) is None        # no mesh — silent
 
 
 def test_pipelined_decoder_dropout_train_mode_runs():
