@@ -692,3 +692,245 @@ def test_nturgbd_e2e_moc_parity(ntu_disk, tmp_path, obs_p):
         assert abs(got - want) < 5.1e-5, (o, p, got, want)
     np.testing.assert_allclose(res["ant_acc"], ref_ant, atol=1e-6)
     np.testing.assert_allclose(res["seg_acc"], ref_seg, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# The remaining predict variants (VERDICT r4 item 7) — every one a DEAD
+# comment-toggle in the reference mains (main_proposed.py:24,
+# main_darai.py:42; predict_salad.py is imported nowhere at all), pinned
+# here so no evaluation/ file is left without a pin or a COMPAT row.
+# --------------------------------------------------------------------------
+
+
+def test_predict_salad_unrunnable(tmp_path):
+    """predict_salad.py is dead (no import site) AND unrunnable: its loop
+    body reads `all_content` (predict_salad.py:57) and `query` (:66) that
+    are never assigned — NameError on the first video.  Its second
+    `gt_read.read()` (:52) would also always yield an empty query stream.
+    COMPAT #34."""
+    from predict_salad import predict as ref_predict_salad
+
+    root = tmp_path / "datasets" / "50salads"
+    for d in ["groundTruth", "features"]:
+        os.makedirs(root / d)
+    (root / "groundTruth" / "v0.txt").write_text("a\nb\na\n")
+    np.save(root / "features" / "v0.npy",
+            np.zeros((IN_DIM, 3), np.float32))
+    args = torch_ref.RefArgs(input_dim=IN_DIM, max_pos_len=128,
+                             sample_rate=1, dataset="50salads")
+    model = torch.nn.Identity()  # never reached past the NameError
+    with chdir(tmp_path):
+        with pytest.raises(NameError, match="all_content"):
+            ref_predict_salad(
+                model, ["v0.txt"], args, 0.3, 3, {"a": 0, "b": 1},
+                torch.device("cpu"), {},
+            )
+
+
+@pytest.mark.parametrize("obs_p", [0.3])
+def test_predict_with_query_e2e_moc_parity(breakfast_disk, tmp_path, obs_p):
+    """evaluation/predict_with_query.py (comment-toggle, main_proposed.py:24)
+    vs our Predictor.  Same protocol as the pinned predict_breakfast minus
+    its deltas: the query stream conditions the model RAW (no 0/1 mod2
+    re-encode -> query_mod2=False), the query lookup skips `.replace(' ','')`
+    (predict_with_query.py:16 — immaterial for space-free taxonomies,
+    KeyError otherwise), and there is no past_len/sample_rate > 2000 skip
+    (-> max_eval_len=None).  MoC table must agree cell-for-cell."""
+    import dataclasses
+
+    from predict_with_query import predict as ref_predict_wq
+    from model.futr_proposed import FUTR as RefProposed
+
+    actions_dict = read_mapping(breakfast_disk / "mapping_l2.txt")
+    query_dict = read_mapping(breakfast_disk / "mapping.txt")
+    n_class = len(actions_dict) + 1
+    pad_idx = n_class - 1                      # main_proposed.py:89
+    query_num = len(query_dict) + 1            # COMPAT #26 pad slot
+
+    args = torch_ref.RefArgs(input_dim=IN_DIM, max_pos_len=128,
+                             sample_rate=SR, dataset="breakfast")
+    torch.manual_seed(23)
+    ref_model = RefProposed(
+        n_class, HID, pad_idx, torch.device("cpu"), args, n_query=NQ,
+        n_head=4, num_encoder_layers=1, num_decoder_layers=1,
+        query_num=query_num,
+    )
+    ref_model.eval()
+    torch_ref.zero_dropout(ref_model)
+
+    vid_list = sorted(
+        f for f in os.listdir(breakfast_disk / "groundTruth")
+        if f.endswith(".txt")
+    )
+    buf = io.StringIO()
+    with chdir(breakfast_disk.parent.parent), redirected_refpaths(tmp_path):
+        with contextlib.redirect_stdout(buf):
+            ref_predict_wq(ref_model, vid_list, args, obs_p, n_class,
+                           actions_dict, torch.device("cpu"), query_dict)
+    ref_moc = parse_moc(buf.getvalue())
+    assert len(ref_moc) == 4
+
+    base = get_config("breakfast_proposed")
+    cfg = base.replace(
+        data=dataclasses.replace(
+            base.data, data_root=str(breakfast_disk.parent),
+            seq_buckets=(64, 128), sample_rate=SR, feature_dtype="float32",
+            train_obs_percs=(obs_p,),
+        ),
+        model=ModelConfig(
+            model="futr_proposed", hidden_dim=HID, n_head=4,
+            n_encoder_layers=1, n_decoder_layers=1, n_query=NQ,
+            input_dim=IN_DIM, max_pos_len=128, compute_dtype="float32",
+            query_num=query_num, seg_excludes_none=True,
+        ),
+        train=TrainConfig(loop="futr", min_train_batch=0),
+        eval=dataclasses.replace(
+            base.eval, query_mod2=False, max_eval_len=None,
+        ),
+    )
+    source = build_source(cfg.data, "train.split1.bundle")
+    assert source.n_class == n_class
+    model = build_model(cfg.model, source.n_class)
+    xj = jnp.zeros((1, 8, IN_DIM), jnp.float32)
+    qj = jnp.zeros((1, 8), jnp.int32)
+    init = model.init(jax.random.PRNGKey(0), xj, qj, train=False)["params"]
+    conv = jax.tree.map(jnp.asarray, torch_ref.proposed_params(ref_model))
+    variables = {"params": {**dict(init), **conv}}
+
+    predictor = Predictor(cfg, model, source.n_class, eval_batch=4)
+    res = predictor.predict(variables, source, obs_p, log=lambda *a: None)
+
+    for (o, p), want in ref_moc.items():
+        got = res[f"obs{o}_pred{p}"]
+        assert abs(got - want) < 5.1e-5, (o, p, got, want)
+
+
+@pytest.mark.parametrize("obs_p", [0.3])
+def test_predict_darai_temp2_prefix_bug_pinned(darai_disk, tmp_path, obs_p):
+    """evaluation/predict_darai_temp2.py (comment-toggle, main_darai.py:42)
+    is the pinned predict_darai MoC protocol with ONE delta: it seeds the
+    evaluated sequence with the raw query-slot class ids instead of the
+    observed L2 labels (`prediction = action.cpu().numpy()`,
+    predict_darai_temp2.py:116 vs predict_darai.py:353 `= past_seq`), so
+    eval_file scores a sequence whose future segment sits shifted by
+    past_len - n_query and whose prefix holds stringified ints.  Pinned by
+    reproducing that exact corruption from OUR weight-copied model + decode
+    and matching temp2's printed MoC table; the correctly-prefixed MoC
+    (our Predictor's protocol, == predict_darai per
+    test_darai_e2e_moc_parity) must DIFFER — the bug is observable.
+    COMPAT #35."""
+    import dataclasses
+
+    from predict_darai_temp2 import predict as ref_predict_t2
+    from model.futr_proposed import FUTR as RefProposed
+    from utils import eval_file as ref_eval_file
+
+    from r3d_tpu.eval.decode import decode_anticipation
+
+    actions_dict = read_mapping(darai_disk / "mapping_l2_changed.txt")
+    query_dict = read_mapping(darai_disk / "mapping_l3_changed.txt")
+    n_class = len(actions_dict) + 1
+    pad_idx = n_class + 1                      # main_darai.py:113
+    query_num = len(query_dict) + 1
+    NONE = n_class - 1
+    eval_p = [0.1, 0.2, 0.3, 0.5]
+
+    args = torch_ref.RefArgs(input_dim=IN_DIM, max_pos_len=128,
+                             sample_rate=SR, dataset="darai")
+    torch.manual_seed(37)
+    ref_model = RefProposed(
+        n_class, HID, pad_idx, torch.device("cpu"), args, n_query=NQ,
+        n_head=4, num_encoder_layers=1, num_decoder_layers=1,
+        query_num=query_num,
+    )
+    ref_model.eval()
+    torch_ref.zero_dropout(ref_model)
+
+    vid_list = [f"v{v}.txt" for v in range(3)]
+    buf = io.StringIO()
+    with chdir(darai_disk.parent.parent), redirected_refpaths(tmp_path):
+        with contextlib.redirect_stdout(buf):
+            ref_predict_t2(ref_model, vid_list, args, obs_p, n_class,
+                           actions_dict, torch.device("cpu"), query_dict)
+    t2_moc = parse_moc(buf.getvalue())
+    assert len(t2_moc) == 4
+
+    # our arm: weight-copied flax model, reference-identical preprocessing
+    cfg_model = ModelConfig(
+        model="futr_proposed", hidden_dim=HID, n_head=4,
+        n_encoder_layers=1, n_decoder_layers=1, n_query=NQ,
+        input_dim=IN_DIM, max_pos_len=128, compute_dtype="float32",
+        query_num=query_num, seg_excludes_none=True,
+    )
+    model = build_model(cfg_model, n_class)
+    xj = jnp.zeros((1, 8, IN_DIM), jnp.float32)
+    qj = jnp.zeros((1, 8), jnp.int32)
+    init = model.init(jax.random.PRNGKey(0), xj, qj, train=False)["params"]
+    conv = jax.tree.map(jnp.asarray, torch_ref.proposed_params(ref_model))
+    variables = {"params": {**dict(init), **conv}}
+
+    inv = {v: k for k, v in actions_dict.items()}
+    inv[NONE] = "NONE"                         # actions_dict_with_NONE
+
+    def moc_with_prefix(use_bug_prefix):
+        T = np.zeros((len(eval_p), len(actions_dict)))
+        F = np.zeros((len(eval_p), len(actions_dict)))
+        for v in range(3):
+            for seq in (1, 2):
+                gt = (darai_disk / "groundTruth_nov11" /
+                      f"v{v}_{seq}.txt").read_text().splitlines()
+                rows = [l.split(",") for l in gt if len(l.split(",")) == 3]
+                all_content = [r[1] for r in rows]
+                query = [r[2] for r in rows]
+                feats = np.load(
+                    darai_disk / "features_temp" / f"v{v}_{seq}.npy"
+                )
+                vid_len = len(all_content)
+                past_len = int(obs_p * vid_len)
+                future_len = int(0.5 * vid_len)
+                x = feats[:past_len][::SR]
+                q = np.array(
+                    [query_dict[s] for s in query[:past_len][::SR]],
+                    np.int32,
+                )
+                out = model.apply(
+                    variables, jnp.asarray(x)[None], jnp.asarray(q)[None],
+                    train=False,
+                )
+                logits = np.asarray(out["action"][0], np.float32)
+                dur = np.asarray(out["duration"][0], np.float32).reshape(-1)
+                frames, _ = decode_anticipation(
+                    logits, dur, future_len, NONE
+                )
+                if use_bug_prefix:
+                    # predict_darai_temp2.py:116 — raw query-slot ids
+                    pred = np.argmax(logits, -1).astype(np.int64)
+                else:
+                    pred = np.asarray(all_content[:past_len])
+                for f in frames:                # :117-118 loop semantics
+                    pred = np.concatenate((pred, [inv[int(f)]]))
+                for i, p in enumerate(eval_p):
+                    eval_len = int((obs_p + p) * vid_len)
+                    ta, fa = ref_eval_file(
+                        all_content, pred[:eval_len], obs_p, actions_dict
+                    )
+                    T[i] += ta
+                    F[i] += fa
+        moc = {}
+        for i, p in enumerate(eval_p):
+            acc = n = 0
+            tot = T + F
+            for j in range(len(actions_dict)):
+                if tot[i, j] != 0:
+                    acc += float(T[i, j] / tot[i, j])
+                    n += 1
+            moc[(int(100 * obs_p), int(100 * p))] = acc / n
+        return moc
+
+    bugged = moc_with_prefix(True)
+    correct = moc_with_prefix(False)
+    for key, want in t2_moc.items():
+        assert abs(bugged[key] - want) < 5.1e-5, (key, bugged[key], want)
+    assert any(
+        abs(bugged[k] - correct[k]) > 1e-6 for k in t2_moc
+    ), "prefix bug not observable on this data"
