@@ -36,6 +36,9 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
                    help="run tag baked into checkpoint dirs (main_utkinects.py:185)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the rolling seed_{s}_last checkpoint")
+    p.add_argument("--init_ckpt", type=str, default=None,
+                   help="warm start: flax-msgpack {'params','batch_stats'} "
+                        "loaded before training (optimizer stays fresh)")
     p.add_argument("--ensemble", action="store_true",
                    help="predict: average seed checkpoints' logits in one "
                         "sweep instead of averaging per-seed accuracies")
@@ -146,6 +149,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         ("device_cache", "device_cache"),
         ("tensorboard", "tensorboard"),
         ("rng_impl", "rng_impl"), ("opt_mu_dtype", "opt_mu_dtype"),
+        ("init_ckpt", "init_ckpt"),
     ]:
         v = getattr(args, arg)
         if v is not None:

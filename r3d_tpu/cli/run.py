@@ -78,6 +78,22 @@ def train(config: Config, seed: int, dataset_ops: str = "",
     state = trainer.init_state(
         jax.random.PRNGKey(seed), example, steps_per_epoch=max(len(train_loader), 1)
     )
+    if config.train.init_ckpt:
+        # warm start from converted/exported weights: params (+batch_stats)
+        # only — the optimizer state and LR schedule start fresh, unlike
+        # --resume which restores the full state + step
+        import jax.numpy as jnp
+        from flax import serialization
+
+        with open(config.train.init_ckpt, "rb") as f:
+            blob = serialization.msgpack_restore(f.read())
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, blob["params"]),
+            batch_stats=jax.tree.map(
+                jnp.asarray, blob.get("batch_stats", state.batch_stats)
+            ),
+        )
+        log(f"warm start: params loaded from {config.train.init_ckpt}")
     path = save_path(config, dataset_ops)
     ckpt = Checkpointer(path)
     start_epoch = 0

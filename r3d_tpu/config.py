@@ -177,6 +177,12 @@ class ModelConfig:
     # Switch load-balancing aux-loss weight (moe.py sows it; the train
     # loop adds weight * aux to the total when experts are on).
     moe_aux_weight: float = 0.01
+    # Module-eval()-semantics forward while still TRAINING: BatchNorm reads
+    # running statistics and never updates them (torch module.eval()); pair
+    # with dropout=0 / fuser_dropout=0 for the full effect. The Trainer
+    # builds this variant internally for the reference's sticky-eval loops
+    # (TrainConfig.sticky_eval) — not meant to be set by hand.
+    frozen_stats: bool = False
 
 
 @dataclass(frozen=True)
@@ -191,6 +197,22 @@ class TrainConfig:
     weight_decay: float = 5e-3
     seeds: Tuple[int, ...] = (1, 10, 13452)   # main_utkinects.py:184
     min_train_batch: int = 8            # BN guard: skip batches <8 (train_proposed_depth.py:148)
+    # Reference quirk (COMPAT #37): validate() flips the module to eval()
+    # and most train loops never flip it back, so epochs >= 1 TRAIN with
+    # eval-mode BatchNorm (running stats frozen at end-of-epoch-0, never
+    # updated again) and dropout off — gradients still flow.  Sticky loops:
+    # train.py:168, train_proposed_depth.py:235, train_unsupervised.py:411,
+    # train_tcn.py:105 (no model.train() after validate); NON-sticky:
+    # train_proposed.py:252 and train_unimodal.py:270 restore model.train().
+    # None = faithful per-loop default; True/False overrides (False = the
+    # "fixed" loop that stays in train mode every epoch).
+    sticky_eval: Optional[bool] = None
+    # warm start: path to a flax-msgpack file holding {'params', 'batch_stats'}
+    # loaded into the fresh state before training; the optimizer state and
+    # LR schedule stay fresh (distinct from --resume, which restores the
+    # full state + step). Written with
+    # flax.serialization.msgpack_serialize; see cli/run.py:train.
+    init_ckpt: Optional[str] = None
     exclude_class_idx: Optional[int] = None   # UNDEFINED class (utk 47, ntu 120)
     weighted_ce: bool = False           # cal_weighted_loss path (utils.py:410)
     label_smoothing: bool = False

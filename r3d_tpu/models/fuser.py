@@ -301,6 +301,9 @@ class CMFuserBN(nn.Module):
     drop_rate: float = 0.1
     use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
+    # torch module.eval() BN semantics while training (sticky-eval loops,
+    # TrainConfig.sticky_eval): normalize with running stats, never update.
+    frozen: bool = False
 
     @nn.compact
     def __call__(
@@ -310,12 +313,13 @@ class CMFuserBN(nn.Module):
 
         C = self.dim
         eps = 1e-5
+        bn_train = train and not self.frozen
         mean_r, var_r, sc_r, bi_r = TorchBatchNorm(
             C, dtype=self.dtype, name="bn_rgb"
-        )(rgb, train=train, stats_only=True)
+        )(rgb, train=bn_train, stats_only=True)
         mean_d, var_d, sc_d, bi_d = TorchBatchNorm(
             C, dtype=self.dtype, name="bn_depth"
-        )(depth, train=train, stats_only=True)
+        )(depth, train=bn_train, stats_only=True)
 
         k = max(0, int(C * self.exchange_frac))
         mask_rgb = bottomk_mask(jnp.abs(sc_r), k)

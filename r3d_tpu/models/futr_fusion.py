@@ -83,6 +83,9 @@ class FUTRFusion(nn.Module):
         if cfg.model == "futr_fusion_bn":
             # BN variant's bottom-k fraction (bn:58); grad/vary hardcode C//4
             fuser_kw["exchange_frac"] = cfg.fuser_exchange_frac
+            # sticky-eval training epochs freeze the BN running stats
+            # (module.eval() semantics; Trainer._model_for)
+            fuser_kw["frozen"] = cfg.frozen_stats
         fused = fuser_cls(cfg.hidden_dim, **fuser_kw)(src, depth, train=train)
 
         if cfg.model == "afft":

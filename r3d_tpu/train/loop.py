@@ -80,6 +80,41 @@ class Trainer:
         self.tx = None
         self._train_step = None
         self._eval_step = None
+        # Reference quirk (COMPAT #37): most train loops never restore
+        # model.train() after the per-epoch validate()'s model.eval(), so
+        # epochs >= 1 train with eval-mode BN + dropout (config.py:
+        # TrainConfig.sticky_eval cites each loop's lines)
+        se = config.train.sticky_eval
+        self.sticky_eval = (
+            config.train.loop in ("futr", "proposed_depth", "unsupervised",
+                                  "tcn")
+            if se is None else bool(se)
+        )
+        self._frozen_model = None
+
+    def _model_for(self, frozen: bool):
+        """The forward to train with: the configured model, or its
+        module-eval() twin (BN running stats frozen, dropout rates 0 —
+        identical params/variables) for sticky-eval epochs >= 1."""
+        if not frozen:
+            return self.model
+        if self._frozen_model is None:
+            import dataclasses
+
+            self._frozen_model = build_model(
+                dataclasses.replace(
+                    self.config.model, dropout=0.0, fuser_dropout=0.0,
+                    frozen_stats=True,
+                ),
+                self.n_class,
+            )
+        return self._frozen_model
+
+    def _sticky(self, epoch: int) -> bool:
+        """True when this TRAINING epoch runs the eval-mode forward: the
+        reference's first validate (end of epoch 0) flips the module to
+        eval and sticky loops never flip it back."""
+        return self.sticky_eval and epoch >= 1
 
     # ------------------------------------------------------------------ setup
     def init_state(self, rng: jax.Array, example_batch: Dict[str, np.ndarray],
@@ -166,15 +201,24 @@ class Trainer:
             if not train:
                 # the reference validate's "weighted accuracy"
                 # (train_proposed_depth.py:9-26,91-95): the single uniform
-                # batch weight cancels, leaving plain non-pad accuracy —
-                # but with NO exclude idx (unlike cal_performance's
-                # counters) and averaged PER BATCH, so it is a genuinely
-                # distinct best-ckpt metric whenever exclude_class_idx
-                # hits or batch sizes vary
-                wa_nc, wa_nw = accuracy_counts(act_flat, gold_t, pad, None)
-                metrics["weight_acc_batch"] = jnp.where(
-                    wa_nw > 0, wa_nc / jnp.maximum(wa_nw, 1), 0.0
-                ).astype(jnp.float32)
+                # batch weight cancels, leaving plain non-pad accuracy with
+                # NO exclude idx.  The reference val DataLoader runs
+                # batch_size=1 (main_utkinects.py:176), so its per-batch
+                # mean is a PER-EXAMPLE mean — computed per row here so the
+                # gate metric is identical for ANY of our val batch sizes
+                # (a per-batch pooled mean would drift from the protocol
+                # whenever examples carry different non-pad slot counts)
+                pred_q = jnp.argmax(act, -1)          # [B, Q]
+                nonpad_q = target != pad
+                row_nc = jnp.sum((pred_q == target) & nonpad_q, axis=1)
+                row_nw = jnp.sum(nonpad_q, axis=1)
+                row_acc = jnp.where(
+                    row_nw > 0, row_nc / jnp.maximum(row_nw, 1), 0.0
+                )
+                metrics["weight_acc_sum"] = jnp.sum(row_acc).astype(jnp.float32)
+                metrics["weight_acc_cnt"] = jnp.asarray(
+                    target.shape[0], jnp.float32
+                )
 
             if "duration" in outputs:  # the TCN baseline has no duration head
                 loss_dur = duration_loss(
@@ -283,11 +327,13 @@ class Trainer:
         return jax.random.key(seed, impl=impl)
 
     # ------------------------------------------------------------- train step
-    def _grad_core(self, params, batch_stats, batch, step_rng, epoch):
+    def _grad_core(self, params, batch_stats, batch, step_rng, epoch,
+                   frozen: bool = False):
         """Forward + losses + backward for ONE (micro)batch: returns
         (grads, metrics, new_batch_stats). Shared by the full train step
-        and make_accum_step's gradient-accumulation scan."""
-        model, is_fusion = self.model, self.is_fusion
+        and make_accum_step's gradient-accumulation scan. ``frozen`` selects
+        the module-eval() forward of sticky-eval epochs (COMPAT #37)."""
+        model, is_fusion = self._model_for(frozen), self.is_fusion
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": batch_stats}
@@ -321,7 +367,8 @@ class Trainer:
         )(params)
         return grads, metrics, new_bs
 
-    def _train_step_core(self, state: TrainState, batch, rng, epoch):
+    def _train_step_core(self, state: TrainState, batch, rng, epoch,
+                         frozen: bool = False):
         """One un-jitted train step: forward, losses, backward, AdamW, BN.
 
         Shared by make_train_step (jit) and make_multi_step (lax.scan body);
@@ -332,19 +379,21 @@ class Trainer:
         # every step (each host-side split is an extra dispatch)
         step_rng = jax.random.fold_in(rng, state.step)
         grads, metrics, new_bs = self._grad_core(
-            state.params, state.batch_stats, batch, step_rng, epoch
+            state.params, state.batch_stats, batch, step_rng, epoch,
+            frozen=frozen,
         )
         state = state.apply_gradients(grads, self.tx, new_batch_stats=new_bs)
         return state, metrics
 
-    def make_train_step(self):
+    def make_train_step(self, frozen: bool = False):
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng, epoch):
-            return self._train_step_core(state, batch, rng, epoch)
+            return self._train_step_core(state, batch, rng, epoch,
+                                         frozen=frozen)
 
         return train_step
 
-    def make_multi_step(self):
+    def make_multi_step(self, frozen: bool = False):
         """One dispatch = K sequential train steps via lax.scan.
 
         Takes a STACKED batch (every leaf [K, ...]) and runs the exact
@@ -360,14 +409,15 @@ class Trainer:
         @functools.partial(jax.jit, donate_argnums=(0,))
         def multi_step(state: TrainState, stacked_batch, rng, epoch):
             def body(state, batch):
-                return self._train_step_core(state, batch, rng, epoch)
+                return self._train_step_core(state, batch, rng, epoch,
+                                             frozen=frozen)
 
             state, per_step = jax.lax.scan(body, state, stacked_batch)
             return state, jax.tree.map(lambda m: jnp.sum(m, axis=0), per_step)
 
         return multi_step
 
-    def make_accum_step(self):
+    def make_accum_step(self, frozen: bool = False):
         """One optimizer update from the MEAN gradient over K stacked
         microbatches (TrainConfig.grad_accum): train at an effective batch
         of K x batch_size with the activation footprint of one microbatch.
@@ -396,7 +446,7 @@ class Trainer:
                 i, batch = xs
                 g, m, new_bs = self._grad_core(
                     state.params, bs, batch,
-                    jax.random.fold_in(base, i), epoch,
+                    jax.random.fold_in(base, i), epoch, frozen=frozen,
                 )
                 gsum = jax.tree.map(jnp.add, gsum, g)
                 return (new_bs, gsum), m
@@ -415,7 +465,7 @@ class Trainer:
 
         return accum_step
 
-    def make_cached_train_fn(self, cache):
+    def make_cached_train_fn(self, cache, frozen: bool = False):
         """Train steps that ASSEMBLE their batches on device from a
         DeviceCache (data/device_cache.py): the host sends only a tiny
         [K, B] int32 view-index table per dispatch — no batch H2D at all.
@@ -446,7 +496,8 @@ class Trainer:
                     batch["seg_ids"] = segment_ids_from_labels_jnp(
                         batch["query_label"], max_segments
                     )
-                return self._train_step_core(st, batch, rng, epoch)
+                return self._train_step_core(st, batch, rng, epoch,
+                                             frozen=frozen)
 
             state, per_step = jax.lax.scan(body, state, idx)
             return state, jax.tree.map(lambda m: jnp.sum(m, axis=0), per_step)
@@ -511,7 +562,6 @@ class Trainer:
         start_epoch: int = 0,
     ) -> TrainState:
         cfg = self.config.train
-        train_step = self.make_train_step()
         eval_step = self.make_eval_step()
         accum = max(1, cfg.grad_accum)
         if accum > 1 and cfg.steps_per_dispatch > 1:
@@ -521,10 +571,20 @@ class Trainer:
                 "scanned step"
             )
         K = accum if accum > 1 else max(1, cfg.steps_per_dispatch)
-        multi_step = (
-            self.make_accum_step() if accum > 1
-            else self.make_multi_step() if K > 1 else None
-        )
+        # steps build lazily PER sticky-eval phase (epoch 0 trains in train
+        # mode; sticky loops train epochs >= 1 with the eval-mode forward)
+        _steps: Dict[bool, tuple] = {}
+
+        def step_fns(epoch):
+            fz = self._sticky(epoch)
+            if fz not in _steps:
+                _steps[fz] = (
+                    self.make_train_step(frozen=fz),
+                    self.make_accum_step(frozen=fz) if accum > 1
+                    else self.make_multi_step(frozen=fz) if K > 1 else None,
+                )
+            return _steps[fz]
+
         rng = jax.random.fold_in(self._base_key(seed), start_epoch)
 
         def host_batches(loader):
@@ -646,6 +706,7 @@ class Trainer:
             n_batches = 0
             n_clips = 0
             epoch_rng = jax.random.fold_in(rng, epoch)
+            train_step, multi_step = step_fns(epoch)
             for n_steps, batch in device_prefetch(
                 dispatch_groups(host_batches(train_loader))
             ):
@@ -693,10 +754,13 @@ class Trainer:
         vagg, vb = validate(state)
         val_acc = vagg.get("cls_correct", 0.0) / max(vagg.get("cls_total", 0.0), 1.0)
         val_loss = vagg.get("loss", 0.0) / max(vb, 1)
-        # the reference's per-batch-mean "weighted accuracy" — no
-        # exclude idx, averaged over batches (train_proposed_depth.py:
-        # 91-95,146); distinct from val_acc in general
-        weight_acc = vagg.get("weight_acc_batch", 0.0) / max(vb, 1)
+        # the reference's "weighted accuracy" — no exclude idx, mean of
+        # PER-EXAMPLE accuracies (its val loader is batch_size=1,
+        # main_utkinects.py:176 + train_proposed_depth.py:91-95,106);
+        # distinct from val_acc in general
+        weight_acc = vagg.get("weight_acc_sum", 0.0) / max(
+            vagg.get("weight_acc_cnt", 0.0), 1.0
+        )
         log(
             f"Validation Loss: {val_loss:.3f}, Class Accuracy: {val_acc:.3f}, "
             f"Weighted Accuracy: {weight_acc:.3f}"
@@ -800,7 +864,14 @@ class Trainer:
         from r3d_tpu.data.device_cache import epoch_plan
 
         cfg = self.config.train
-        step_fn = self.make_cached_train_fn(cache)
+        _steps: Dict[bool, object] = {}
+
+        def step_fn_for(epoch):
+            fz = self._sticky(epoch)
+            if fz not in _steps:
+                _steps[fz] = self.make_cached_train_fn(cache, frozen=fz)
+            return _steps[fz]
+
         eval_step = self.make_eval_step()
         K = max(1, cfg.steps_per_dispatch)
         rng = jax.random.fold_in(self._base_key(seed), start_epoch)
@@ -859,6 +930,7 @@ class Trainer:
             n_batches = 0
             n_clips = 0
             epoch_rng = jax.random.fold_in(rng, epoch)
+            step_fn = step_fn_for(epoch)
             for (S, B), idxs in groups:
                 stacked = np.stack(idxs)                       # [k, B]
                 if (
@@ -884,7 +956,7 @@ class Trainer:
             )
         return state
 
-    def make_hybrid_train_fn(self, hybrid):
+    def make_hybrid_train_fn(self, hybrid, frozen: bool = False):
         """Train step over a HybridCache batch: the batch's device-resident
         rows assemble via the cached gather while its host rows arrive as a
         compacted [Bh, ...] buffer and scatter into their batch positions —
@@ -918,7 +990,8 @@ class Trainer:
                 batch["seg_ids"] = segment_ids_from_labels_jnp(
                     batch["query_label"], max_segments
                 )
-            return self._train_step_core(state, batch, rng, epoch)
+            return self._train_step_core(state, batch, rng, epoch,
+                                         frozen=frozen)
 
         return hybrid_step
 
@@ -948,7 +1021,14 @@ class Trainer:
 
         cfg = self.config.train
         cache = hybrid.cache
-        step_fn = self.make_hybrid_train_fn(hybrid)
+        _steps: Dict[bool, object] = {}
+
+        def step_fn_for(epoch):
+            fz = self._sticky(epoch)
+            if fz not in _steps:
+                _steps[fz] = self.make_hybrid_train_fn(hybrid, frozen=fz)
+            return _steps[fz]
+
         eval_step = self.make_eval_step()
         rng = jax.random.fold_in(self._base_key(seed), start_epoch)
         data = cache.data
@@ -981,6 +1061,7 @@ class Trainer:
             n_batches = 0
             n_clips = 0
             epoch_rng = jax.random.fold_in(rng, epoch)
+            step_fn = step_fn_for(epoch)
             for chunk in hybrid_epoch_plan(
                 hybrid, cfg.batch_size, seed, epoch
             ):

@@ -462,9 +462,11 @@ def test_ten_epoch_schedule_convergence(family):
 def test_weighted_val_accuracy_matches_reference():
     """Best-ckpt gate metric #2 (train_proposed_depth.py:9-26,91-95): the
     reference validate's "weighted accuracy" — its uniform batch weight
-    cancels, leaving plain NON-PAD accuracy with NO exclude idx, averaged
-    per batch.  Our weight_acc_batch must equal it batch-by-batch and its
-    mean must genuinely diverge from the exclude-idx global val_acc."""
+    cancels, leaving plain NON-PAD accuracy with NO exclude idx, pooled
+    within each val batch.  The reference val loader is batch_size=1
+    (main_utkinects.py:176), so each "batch" below is one example; our
+    per-example accuracy must equal it example-by-example and its mean
+    must genuinely diverge from the exclude-idx global val_acc."""
     import sys
 
     if "/root/reference/train" not in sys.path:  # train/ has no __init__.py
@@ -509,8 +511,10 @@ def test_weighted_val_accuracy_matches_reference():
 
 def test_eval_step_emits_weight_acc_batch():
     """The live eval path (Trainer.make_eval_step -> _losses) must emit
-    weight_acc_batch = non-pad no-exclude accuracy while cls_correct/total
-    keep the exclude-idx cal_performance accounting."""
+    weight_acc_sum/cnt = PER-EXAMPLE non-pad no-exclude accuracies (the
+    reference protocol runs val at batch_size=1, main_utkinects.py:176, so
+    its per-batch mean is a per-example mean) while cls_correct/total keep
+    the exclude-idx cal_performance accounting."""
     from r3d_tpu.config import get_config, DataConfig, ModelConfig, TrainConfig
     from r3d_tpu.data.synthetic import SyntheticSource
     from r3d_tpu.data.pipeline import BucketedLoader
@@ -537,18 +541,21 @@ def test_eval_step_emits_weight_acc_batch():
     batch = next(iter(loader))
     state = trainer.init_state(jax.random.PRNGKey(0), batch, steps_per_epoch=1)
     metrics = trainer.make_eval_step()(state, jax.tree.map(jnp.asarray, batch))
-    assert "weight_acc_batch" in metrics
+    assert "weight_acc_sum" in metrics and "weight_acc_cnt" in metrics
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     outputs = trainer.model.apply(
         variables, jnp.asarray(batch["features"]), None, train=False
     )
-    logits = np.array(outputs["action"]).reshape(-1, src.n_class)
-    tgt = np.array(batch["trans_future_target"]).reshape(-1)
+    logits = np.array(outputs["action"])                 # [B, Q, C]
+    tgt = np.array(batch["trans_future_target"])         # [B, Q]
     pred = np.argmax(logits, -1)
     nonpad = tgt != src.pad_idx
-    expect_wa = ((pred == tgt) & nonpad).sum() / max(nonpad.sum(), 1)
-    np.testing.assert_allclose(float(metrics["weight_acc_batch"]), expect_wa,
+    row_nc = ((pred == tgt) & nonpad).sum(1)
+    row_nw = nonpad.sum(1)
+    expect_sum = np.where(row_nw > 0, row_nc / np.maximum(row_nw, 1), 0.0).sum()
+    np.testing.assert_allclose(float(metrics["weight_acc_sum"]), expect_sum,
                                rtol=1e-6)
+    assert int(metrics["weight_acc_cnt"]) == tgt.shape[0]
     excl_mask = nonpad & (tgt != EXCL)
     assert int(metrics["cls_total"]) == int(excl_mask.sum())
