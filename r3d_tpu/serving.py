@@ -31,13 +31,33 @@ from r3d_tpu.models import build_model, is_fusion_model
 
 class InferenceSession:
     def __init__(self, config: Config, variables, n_class: int,
-                 max_batch: int = 8, mesh=None, quantize: Optional[str] = None):
+                 max_batch: int = 8, mesh=None, quantize: Optional[str] = None,
+                 input_dtype: Optional[str] = None):
         self.config = config
         self.n_class = n_class
         self.max_batch = max_batch
         self.model = build_model(config.model, n_class)
         self.is_fusion = is_fusion_model(config.model.model)
         self.quantize = quantize
+        # input_dtype='uint8': ship the DEPTH stream as uint8 + per-video
+        # affine (lo, scale), dequantized inside the jitted forward.  The
+        # serving bottleneck is the raw-depth H2D (tools/
+        # measure_quant_serving.py: p50 444.7 ms, depth-bound), and depth is
+        # min-max normalized upstream (reference data/
+        # utkinect-preprocess-depth.py:30-78), so 8 bits cover its range at
+        # 1/255 resolution — 4x fewer bytes than fp32, 2x fewer than the
+        # bf16 configs ship. Clients may pass uint8 depth directly (zero
+        # host quantize cost, [0,1] convention) or float depth (quantized
+        # per video on host).
+        self.input_dtype = input_dtype
+        if input_dtype not in (None, "uint8"):
+            raise ValueError(f"unknown input_dtype {input_dtype!r} "
+                             "(supported: None, 'uint8')")
+        if input_dtype == "uint8" and not self.is_fusion:
+            raise ValueError(
+                "input_dtype='uint8' quantizes the depth stream; model "
+                f"{config.model.model!r} takes no depth input"
+            )
         if quantize is not None:
             # int8 weight-only: kernels store as int8 + per-channel scales
             # (ops/quant.py), dequantized inside the jitted forward — HBM
@@ -56,12 +76,12 @@ class InferenceSession:
             variables = dict(variables)
             variables["params"] = quantize_tree(variables["params"])
             self.variables = jax.device_put(variables)
-            self._forward = jax.jit(
+            self._forward = jax.jit(self._maybe_dequant_input(
                 lambda v, *args: self.model.apply(
                     {**v, "params": dequantize_tree(v["params"])},
                     *args, train=False,
                 )
-            )
+            ))
             return
         # mesh: serve multi-chip — params follow the TP/EP sharding rules,
         # request batches shard over dp (mirrors Predictor(mesh=...));
@@ -78,9 +98,45 @@ class InferenceSession:
             )
         else:
             self.variables = jax.device_put(variables)
-        self._forward = jax.jit(
+        self._forward = jax.jit(self._maybe_dequant_input(
             lambda v, *args: self.model.apply(v, *args, train=False)
-        )
+        ))
+
+    def _maybe_dequant_input(self, apply_fn):
+        """input_dtype='uint8': the forward takes (feats, depth_u8, qp, mask)
+        and reconstructs depth = u * scale + lo ON DEVICE (qp: [B, 2] fp32
+        per-video (lo, scale)); the affine runs in fp32 then casts to the
+        config's compute dtype so the only divergence from the float path
+        is the <= scale/2 quantization rounding."""
+        if self.input_dtype is None:
+            return apply_fn
+        cdt = jnp.dtype(self.config.data.feature_dtype)
+
+        def fwd(v, feats, depth_u8, qp, mask):
+            shape = (qp.shape[0],) + (1,) * (depth_u8.ndim - 1)
+            lo = qp[:, 0].reshape(shape)
+            scale = qp[:, 1].reshape(shape)
+            depth = (depth_u8.astype(jnp.float32) * scale + lo).astype(cdt)
+            return apply_fn(v, feats, depth, mask)
+
+        return fwd
+
+    @staticmethod
+    def quantize_depth(d: np.ndarray):
+        """Host-side affine min-max depth quantization -> (uint8, lo, scale).
+
+        uint8 inputs pass through under the [0, 1] convention (the reference
+        min-max-normalizes depth to [0, 1] per frame,
+        data/utkinect-preprocess-depth.py:30-78), so a client that quantizes
+        at the sensor pays zero host cost here."""
+        if d.dtype == np.uint8:
+            return d, 0.0, 1.0 / 255.0
+        d = np.asarray(d, np.float32)
+        lo = float(d.min()) if d.size else 0.0
+        hi = float(d.max()) if d.size else 0.0
+        scale = max((hi - lo) / 255.0, 1e-12)
+        u = np.clip(np.rint((d - lo) * (1.0 / scale)), 0, 255).astype(np.uint8)
+        return u, lo, scale
 
     @classmethod
     def from_checkpoint(cls, config: Config, ckpt_dir: str, seed: int,
@@ -185,10 +241,19 @@ class InferenceSession:
                 mask = np.ones((B, S), bool)
                 mask[:, 0] = False
                 depth = None
+                qp = None
                 if self.is_fusion:
-                    depth = np.zeros(
-                        (B, S) + videos[chunk[0]]["depth"].shape[1:], in_dtype
+                    d_dtype = (
+                        np.uint8 if self.input_dtype == "uint8" else in_dtype
                     )
+                    depth = np.zeros(
+                        (B, S) + videos[chunk[0]]["depth"].shape[1:], d_dtype
+                    )
+                    if self.input_dtype == "uint8":
+                        # pad rows dequantize to lo=0 + 0*scale = 0.0,
+                        # matching the float path's zero padding
+                        qp = np.zeros((B, 2), np.float32)
+                        qp[:, 1] = 1.0 / 255.0
                 for j, i in enumerate(chunk):
                     # overlong videos truncate to the last bucket, same as
                     # the training pipeline (pipeline.bucket_length)
@@ -196,9 +261,15 @@ class InferenceSession:
                     feats[j, :r] = videos[i]["features"][:r]
                     mask[j, :r] = False
                     mask[j, r:] = True
-                    if depth is not None:
+                    if qp is not None:
+                        u, lo, scale = self.quantize_depth(
+                            videos[i]["depth"][:r]
+                        )
+                        depth[j, :r] = u
+                        qp[j] = (lo, scale)
+                    elif depth is not None:
                         depth[j, :r] = videos[i]["depth"][:r]
-                pending.append((chunk, self._run(feats, depth, mask)))
+                pending.append((chunk, self._run(feats, depth, mask, qp)))
                 if len(pending) >= max_in_flight:
                     fetch_one()
 
@@ -206,11 +277,16 @@ class InferenceSession:
             fetch_one()
         return results  # type: ignore[return-value]
 
-    def _run(self, feats, depth, mask) -> Dict:
+    def _run(self, feats, depth, mask, qp=None) -> Dict:
         """One padded chunk -> model outputs (async jax values)."""
         from r3d_tpu.parallel.mesh import mesh_scope
 
-        args = [feats] + ([depth] if depth is not None else []) + [mask]
+        args = (
+            [feats]
+            + ([depth] if depth is not None else [])
+            + ([qp] if qp is not None else [])
+            + [mask]
+        )
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -266,11 +342,18 @@ class InferenceSession:
             while True:
                 args = [jax.ShapeDtypeStruct((B, S, D), f_dtype)]
                 if self.is_fusion:
+                    d_dtype = (
+                        jnp.uint8 if self.input_dtype == "uint8" else f_dtype
+                    )
                     args.append(
                         jax.ShapeDtypeStruct(
-                            (B, S) + tuple(cfg.data.depth_shape), f_dtype
+                            (B, S) + tuple(cfg.data.depth_shape), d_dtype
                         )
                     )
+                    if self.input_dtype == "uint8":
+                        args.append(
+                            jax.ShapeDtypeStruct((B, 2), jnp.float32)
+                        )
                 args.append(jax.ShapeDtypeStruct((B, S), jnp.bool_))
                 blob = jexport.export(fn)(var_struct, *args).serialize()
                 with open(os.path.join(path, f"fwd_{S}_{B}.bin"), "wb") as f:
@@ -290,6 +373,7 @@ class InferenceSession:
                     "feature_dtype": cfg.data.feature_dtype,
                     "input_dim": D,
                     "depth_shape": list(cfg.data.depth_shape),
+                    "input_dtype": self.input_dtype,
                 },
                 f,
             )
@@ -432,6 +516,7 @@ class ExportedSession(InferenceSession):
         self.n_class = meta["n_class"]
         self.max_batch = meta["max_batch"]
         self.is_fusion = meta["is_fusion"]
+        self.input_dtype = meta.get("input_dtype")
         # the minimal config surface anticipate_batch reads
         self.config = types.SimpleNamespace(
             data=types.SimpleNamespace(
@@ -458,7 +543,7 @@ class ExportedSession(InferenceSession):
     def load(cls, path: str) -> "ExportedSession":
         return cls(path)
 
-    def _run(self, feats, depth, mask) -> Dict:
+    def _run(self, feats, depth, mask, qp=None) -> Dict:
         key = (feats.shape[1], feats.shape[0])
         if key not in self._programs:
             with open(self._blobs[key], "rb") as f:
@@ -466,6 +551,8 @@ class ExportedSession(InferenceSession):
         args = [jnp.asarray(feats)]
         if depth is not None:
             args.append(jnp.asarray(depth))
+        if qp is not None:
+            args.append(jnp.asarray(qp))
         args.append(jnp.asarray(mask))
         return self._programs[key](self.variables, *args)
 

@@ -6,6 +6,8 @@ within scale/2 = absmax/254 of its float value, and the served logits stay
 within a few percent of the full-precision session's.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -16,6 +18,7 @@ from test_datasets import disk_dataset, make_cfg  # noqa: F401
 from test_predict import small_model_cfg
 from r3d_tpu.config import get_config, TrainConfig
 from r3d_tpu.data.datasets import build_loader, build_source
+from r3d_tpu.models import build_model
 from r3d_tpu.ops.quant import (
     QuantizedTensor,
     dequantize_tree,
@@ -164,6 +167,127 @@ def test_quantized_export_roundtrip(disk_dataset, tmp_path):  # noqa: F811
     feats = np.asarray(v0["features"][:20], np.float32)
     depth = np.asarray(v0["depth"][:20], np.float32)
     live = q8.anticipate(feats, depth, future_len=16)
+    loaded = served.anticipate(feats, depth, future_len=16)
+    np.testing.assert_array_equal(live["future_frames"],
+                                  loaded["future_frames"])
+    np.testing.assert_array_equal(live["transcript"], loaded["transcript"])
+
+
+def test_uint8_input_session_matches_full(disk_dataset, tmp_path):  # noqa: F811
+    """input_dtype='uint8' ships the depth stream as uint8 + per-video
+    (lo, scale) and dequantizes on device (serving.py:_maybe_dequant_input).
+
+    No reference counterpart (no serving story there); the bound is the
+    quantizer's own: depth reconstructs within scale/2 = range/510 per
+    element, so logits stay within a few percent and the decoded protocol
+    output (transcript argmax) agrees with the float session.
+    """
+    cfg = get_config("utkinects").replace(
+        data=make_cfg(disk_dataset),
+        model=small_model_cfg(),
+        train=TrainConfig(loop="proposed_depth", min_train_batch=0,
+                          batch_size=4),
+    )
+    source = build_source(cfg.data, "train_split.txt")
+    loader = build_loader(source, cfg.data, 4, cfg.model.n_query, mode="train")
+    trainer = Trainer(cfg, source.n_class)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), next(iter(loader)), steps_per_epoch=1
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    full = InferenceSession(cfg, variables, source.n_class, max_batch=4)
+    u8 = InferenceSession(cfg, variables, source.n_class, max_batch=4,
+                          input_dtype="uint8")
+
+    v0 = source.load_video(source.vid_list[0])
+    feats = np.asarray(v0["features"][:30], np.float32)
+    # min-max normalized depth, like the reference preprocessing emits
+    d = np.asarray(v0["depth"][:30], np.float32)
+    depth = (d - d.min()) / (d.max() - d.min())
+
+    res_f = full.anticipate(feats, depth, future_len=25)
+    res_u = u8.anticipate(feats, depth, future_len=25)
+    # protocol outputs agree exactly (argmax agreement)...
+    np.testing.assert_array_equal(res_f["transcript"], res_u["transcript"])
+    np.testing.assert_array_equal(res_f["future_frames"],
+                                  res_u["future_frames"])
+    # ...and the raw logits within a small tolerance of the float forward
+    S = 32
+    f = np.zeros((1, S, feats.shape[-1]), np.float32)
+    f[0, :30] = feats
+    dq = np.zeros((1, S) + depth.shape[1:], np.float32)
+    dq[0, :30] = depth
+    mask = np.ones((1, S), bool)
+    mask[0, :30] = False
+    u, lo, scale = InferenceSession.quantize_depth(depth)
+    du8 = np.zeros((1, S) + depth.shape[1:], np.uint8)
+    du8[0, :30] = u
+    qp = np.array([[lo, scale]], np.float32)
+    out_f = full._forward(full.variables, f, dq, mask)
+    out_u = u8._forward(u8.variables, f, du8, qp, mask)
+    a_f = np.asarray(out_f["action"], np.float32)
+    a_u = np.asarray(out_u["action"], np.float32)
+    assert np.max(np.abs(a_f - a_u)) / (np.abs(a_f).max() + 1e-6) < 0.05
+
+    # uint8 client input passes through with zero host quantize cost under
+    # the [0, 1] convention: u/255 == dequant(quantize(u/255)) exactly
+    d_u8 = np.clip(np.rint(depth * 255), 0, 255).astype(np.uint8)
+    res_direct = u8.anticipate(feats, d_u8, future_len=25)
+    res_same = u8.anticipate(feats, d_u8.astype(np.float32) / 255.0,
+                             future_len=25)
+    np.testing.assert_array_equal(res_direct["transcript"],
+                                  res_same["transcript"])
+
+    # composes with int8 weight quantization (both dequants in one program)
+    both = InferenceSession(cfg, variables, source.n_class, max_batch=4,
+                            quantize="int8", input_dtype="uint8")
+    res_b = both.anticipate(feats, depth, future_len=25)
+    assert res_b["future_frames"].shape == (25,)
+
+    # rejected clearly: unknown dtype, and a depth-less model
+    with pytest.raises(ValueError):
+        InferenceSession(cfg, variables, source.n_class, input_dtype="int4")
+    futr_cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, model="futr"))
+    futr_model = build_model(futr_cfg.model, source.n_class)
+    fv = futr_model.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 12), jnp.float32),
+                         None, train=False)
+    with pytest.raises(ValueError, match="depth"):
+        InferenceSession(futr_cfg, fv, source.n_class, input_dtype="uint8")
+
+
+def test_uint8_input_export_roundtrip(disk_dataset, tmp_path):  # noqa: F811
+    """The exported artifact records input_dtype; the loaded StableHLO
+    programs take (feats, depth_u8, qp, mask) and reproduce the live
+    session's protocol outputs."""
+    cfg = get_config("utkinects").replace(
+        data=make_cfg(disk_dataset),
+        model=small_model_cfg(),
+        train=TrainConfig(loop="proposed_depth", min_train_batch=0,
+                          batch_size=4),
+    )
+    source = build_source(cfg.data, "train_split.txt")
+    loader = build_loader(source, cfg.data, 4, cfg.model.n_query, mode="train")
+    trainer = Trainer(cfg, source.n_class)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), next(iter(loader)), steps_per_epoch=1
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    u8 = InferenceSession(cfg, variables, source.n_class, max_batch=2,
+                          input_dtype="uint8")
+
+    from r3d_tpu.serving import ExportedSession
+
+    u8.export(str(tmp_path / "artifact"))
+    served = ExportedSession.load(str(tmp_path / "artifact"))
+    assert served.input_dtype == "uint8"
+
+    v0 = source.load_video(source.vid_list[0])
+    feats = np.asarray(v0["features"][:20], np.float32)
+    d = np.asarray(v0["depth"][:20], np.float32)
+    depth = (d - d.min()) / (d.max() - d.min())
+    live = u8.anticipate(feats, depth, future_len=16)
     loaded = served.anticipate(feats, depth, future_len=16)
     np.testing.assert_array_equal(live["future_frames"],
                                   loaded["future_frames"])
