@@ -107,6 +107,10 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
                        help=f"{what}-parallel mesh extent")
     p.add_argument("--pp_microbatches", type=int, default=None,
                    help="GPipe microbatch count (0 = auto = pp)")
+    p.add_argument("--pp_schedule", choices=["gpipe", "1f1b"], default=None,
+                   help="pipeline schedule: gpipe (fill-drain fwd, autodiff "
+                        "bwd) or 1f1b (per-microbatch loss at the last "
+                        "stage, O(pp) activation window)")
     p.add_argument("--fsdp", action="store_true", default=None,
                    help="ZeRO/FSDP: shard params + optimizer moments over "
                         "the dp axis (per-device state memory drops "
@@ -165,6 +169,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
             mesh_over[ax] = v
     if args.pp_microbatches is not None:
         mesh_over["pp_microbatches"] = args.pp_microbatches
+    if args.pp_schedule is not None:
+        mesh_over["pp_schedule"] = args.pp_schedule
     if args.fsdp is not None:
         mesh_over["fsdp"] = args.fsdp
 

@@ -319,6 +319,14 @@ class MeshConfig:
     sp: int = 1         # sequence-parallel axis (long-S configs)
     pp: int = 1         # pipeline-parallel stages (deep-decoder configs)
     pp_microbatches: int = 0  # 0 => auto (= pp); more => smaller bubble
+    # pipeline schedule: 'gpipe' (fill-drain forward, autodiff mirrors the
+    # backward; activation residuals live O(M) microbatches) or '1f1b'
+    # (Megatron-style one-forward-one-backward at the TRAIN-STEP level,
+    # parallel/pipeline_1f1b.py: per-microbatch loss at the last stage,
+    # in-flight window O(pp), remat per stage; same bubble fraction).
+    # 1f1b currently supports the futr family on dp x pp meshes and FAILS
+    # LOUDLY elsewhere (Trainer.make_1f1b_train_step lists the checks).
+    pp_schedule: str = "gpipe"
     ep: int = 1         # expert-parallel axis (moe_experts configs)
     fsdp: bool = False  # ZeRO/FSDP: shard params + optimizer moments over dp
 

@@ -24,9 +24,12 @@ Design (fill–drain / GPipe schedule as one jitted collective program):
   tick; the flowing activation is only the microbatch-sized query block.
 - Autodiff differentiates the whole schedule: ppermute's transpose is
   the reverse rotation, so the backward runs as the mirrored drain–fill
-  pipeline without any hand-written schedule.  1F1B re-ordering is a
-  possible later optimisation; fill–drain keeps activation liveness at
-  one scan carry + residuals and is bit-stable to test.
+  pipeline without any hand-written schedule.  Fill–drain keeps
+  activation liveness at one scan carry + residuals and is bit-stable
+  to test.  The 1F1B alternative ships in ``parallel/pipeline_1f1b.py``
+  (``MeshConfig.pp_schedule='1f1b'``): per-microbatch loss at the last
+  stage, O(pp) in-flight activations — see its module docstring for the
+  schedule and memory accounting.
 
 The bubble fraction is (pp−1)/(M+pp−1): raise ``MeshConfig.pp_microbatches``
 to amortise it.  Values and grads match the sequential stack exactly

@@ -385,11 +385,216 @@ class Trainer:
         state = state.apply_gradients(grads, self.tx, new_batch_stats=new_bs)
         return state, metrics
 
+    def _wants_1f1b(self) -> bool:
+        from r3d_tpu.parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+        return (
+            self.config.mesh.pp_schedule == "1f1b"
+            and mesh is not None and mesh.shape.get("pp", 1) > 1
+        )
+
     def make_train_step(self, frozen: bool = False):
+        if self._wants_1f1b():
+            return self.make_1f1b_train_step(frozen=frozen)
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, rng, epoch):
             return self._train_step_core(state, batch, rng, epoch,
                                          frozen=frozen)
+
+        return train_step
+
+    def make_1f1b_train_step(self, frozen: bool = False):
+        """Train step scheduled 1F1B over the 'pp' mesh axis
+        (parallel/pipeline_1f1b.py): the batch splits into M microbatches,
+        each flows through the stage-partitioned decoder, the LAST stage
+        computes its per-microbatch loss and seeds the backward while later
+        microbatches still stream forward — in-flight activations stay
+        O(pp), not O(M).
+
+        Semantics = ``make_accum_step`` over M microbatches (mean of
+        per-microbatch losses/grads; the integration test uses it as the
+        oracle); batch consumption = ONE loader batch, so state.step
+        advances by 1 like the plain step.  Supported: the futr family
+        (pre = input embed + pos/query tables, stages = decoder layers,
+        last = final norm + heads + loss) on dp x pp meshes.  Anything else
+        raises — a requested schedule must never silently degrade."""
+        import flax.linen as fnn
+
+        from r3d_tpu.models.futr import Heads, InputEmbed
+        from r3d_tpu.models.transformer import DecoderLayer
+        from r3d_tpu.parallel.mesh import active_mesh
+        from r3d_tpu.parallel.pipeline_1f1b import pipelined_value_and_grad
+
+        mesh = active_mesh()
+        cfg = self.config.model
+        mc = self.config.mesh
+        pp = mesh.shape["pp"]
+        M = mc.pp_microbatches or pp
+        B = self.config.train.batch_size
+
+        def bail(reason: str):
+            raise ValueError(
+                f"pp_schedule='1f1b' requested but unsupported: {reason}. "
+                "Use pp_schedule='gpipe' (the default) for this config."
+            )
+
+        if cfg.model != "futr":
+            bail(f"model {cfg.model!r} (only 'futr' has the pre/stage/last "
+                 "split; fusion models mutate BN stats inside the pre)")
+        if self.config.train.loop not in ("futr",):
+            bail(f"loop {self.config.train.loop!r} (losses must live "
+                 "entirely in the last stage; the unsupervised composite "
+                 "reads pre-decoder streams)")
+        if cfg.use_encoder or cfg.moe_experts > 0 or cfg.sow_attn:
+            bail("use_encoder/moe_experts/sow_attn")
+        if not cfg.pos_emb:
+            bail("pos_emb=False")
+        if mesh.shape.get("tp", 1) != 1 or mesh.shape.get("sp", 1) != 1 \
+                or mesh.shape.get("ep", 1) != 1:
+            bail("tp/sp/ep > 1 (1f1b shards pp x dp only)")
+        if mc.fsdp:
+            bail("fsdp (grads are assembled manually)")
+        if cfg.n_decoder_layers % pp != 0:
+            bail(f"{cfg.n_decoder_layers} decoder layers do not split "
+                 f"into {pp} stages")
+        if B % M != 0:
+            bail(f"batch {B} does not divide into {M} microbatches")
+        if self.config.train.grad_accum > 1 \
+                or self.config.train.steps_per_dispatch > 1:
+            bail("grad_accum/steps_per_dispatch > 1")
+
+        L = cfg.n_decoder_layers
+        Lps = L // pp
+        dtype = jnp.dtype(cfg.compute_dtype)
+        C = cfg.hidden_dim
+        embed_mod = InputEmbed(cfg, self.n_class)
+        heads_mod = Heads(cfg, self.n_class)
+        layer_mod = DecoderLayer(
+            C, cfg.n_head, C * 4, cfg.dropout, sow_attn=False, dtype=dtype
+        )
+        norm_mod = fnn.LayerNorm(epsilon=1e-5, dtype=dtype)
+        # sticky-eval epochs (COMPAT #37) train with dropout off; futr has
+        # no BatchNorm, so the frozen twin is just the deterministic forward
+        use_dropout = (cfg.dropout > 0.0) and not frozen
+        Bm = B // M
+
+        def mb(x):
+            return x.reshape((M, Bm) + x.shape[1:])
+
+        def stage_fn(local, x, cd, ca, extras, m):
+            d = jax.lax.axis_index("pp")
+
+            def one(x, p_i):
+                p, li = p_i
+                rngs = None
+                if use_dropout:
+                    k = jax.random.fold_in(extras["rng"], d * Lps + li)
+                    rngs = {"dropout": jax.random.fold_in(k, m)}
+                x = layer_mod.apply(
+                    {"params": p}, x, cd["memory"], cd["pos"],
+                    cd["query_pos"], ca["mask"], not use_dropout, None,
+                    rngs=rngs,
+                )
+                return x, None
+
+            x, _ = jax.lax.scan(one, x, (local, jnp.arange(Lps)))
+            return x
+
+        def last_fn(last_p, y, cd, ca, m):
+            hs = norm_mod.apply({"params": last_p["norm"]}, y)
+            outputs = heads_mod.apply(
+                {"params": last_p["heads"]}, hs, cd["memory"]
+            )
+            batch_m = {
+                "past_label": ca["past_label"],
+                "trans_future_target": ca["target"],
+                "trans_future_dur": ca["dur"],
+            }
+            # epoch only steers the unsupervised ramp — unused by the futr
+            # loop's losses (and a closed-over tracer would not cross the
+            # shard_map boundary)
+            return self._losses(outputs, batch_m, epoch=0, train=True)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, rng, epoch):
+            params = state.params
+            feats = batch["features"]
+            S = feats.shape[1]
+            mask = batch["past_label"] == self.pad_idx
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            pre_keys = ("embed", "pos_embedding", "query_embed")
+            pre_params = {k: params[k] for k in pre_keys}
+
+            def pre(p):
+                src = embed_mod.apply({"params": p["embed"]}, feats)
+                pos = jnp.broadcast_to(
+                    p["pos_embedding"][:, :S].astype(src.dtype), (B, S, C)
+                )
+                query_pos = jnp.broadcast_to(
+                    p["query_embed"][None].astype(src.dtype),
+                    (B, cfg.n_query, C),
+                )
+                return src, pos, query_pos  # memory = src (encoder bypass)
+
+            (memory, pos, query_pos), pre_vjp = jax.vjp(pre, pre_params)
+
+            inject = jnp.zeros((M, Bm, cfg.n_query, C), dtype)
+            cdiff = {
+                "memory": mb(memory), "pos": mb(pos),
+                "query_pos": mb(query_pos),
+            }
+            caux = {
+                "mask": mb(mask),
+                "past_label": mb(batch["past_label"]),
+                "target": mb(batch["trans_future_target"]),
+                "dur": mb(batch["trans_future_dur"]),
+            }
+            extras = {"rng": step_rng} if use_dropout else {}
+
+            dec = params["transformer"]["decoder"]
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[dec[f"layer{i}"] for i in range(L)],
+            )
+            last_p = {"norm": dec["norm"], "heads": params["heads"]}
+
+            loss_sum, metric_sums, g_stacked, g_last, _d_inject, d_cdiff = (
+                pipelined_value_and_grad(
+                    stage_fn, last_fn, stacked, last_p, inject, cdiff,
+                    caux, extras, mesh, M,
+                )
+            )
+            # _d_inject is the cotangent of the constant zeros tgt — dropped
+
+            def unmb(x):
+                return x.reshape((B,) + x.shape[2:])
+
+            (d_pre,) = pre_vjp((
+                unmb(d_cdiff["memory"]).astype(memory.dtype),
+                unmb(d_cdiff["pos"]).astype(pos.dtype),
+                unmb(d_cdiff["query_pos"]).astype(query_pos.dtype),
+            ))
+
+            grads = dict(
+                {k: d_pre[k] for k in pre_keys},
+                transformer={"decoder": dict(
+                    {f"layer{i}": jax.tree.map(lambda a, i=i: a[i],
+                                               g_stacked)
+                     for i in range(L)},
+                    norm=g_last["norm"],
+                )},
+                heads=g_last["heads"],
+            )
+            grads = jax.tree.map(lambda g: (g / M).astype(jnp.float32),
+                                 grads)
+            metrics = jax.tree.map(lambda s: s / M, metric_sums)
+            state = state.apply_gradients(
+                grads, self.tx, new_batch_stats=state.batch_stats
+            )
+            return state, metrics
 
         return train_step
 

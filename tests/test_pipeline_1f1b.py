@@ -1,0 +1,295 @@
+"""1F1B pipeline schedule (parallel/pipeline_1f1b.py) on the fake CPU mesh.
+
+No reference counterpart (single-GPU DataParallel there); the bar is the
+repo's sharding standard: the 1F1B program's loss, metrics and EVERY
+gradient (stage stack, last tail, injected activations, differentiable
+side inputs) equal plain ``jax.grad`` of the sequential composition —
+composed with dp, across microbatch counts, including M != pp.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from r3d_tpu.parallel.mesh import make_mesh
+from r3d_tpu.parallel.pipeline_1f1b import pipelined_value_and_grad
+
+L = 8          # total toy stage layers
+F = 8          # flow feature dim
+
+
+def _toy_problem(M, Bm, seed=0):
+    """Stacked layer params + microbatched inputs for the toy pipeline."""
+    rng = np.random.RandomState(seed)
+    stacked = {
+        "w": jnp.asarray(rng.randn(L, F, F) * 0.3),
+        "b": jnp.asarray(rng.randn(L, F) * 0.1),
+    }
+    last_p = {"head": jnp.asarray(rng.randn(F, 5) * 0.3)}
+    inject = jnp.asarray(rng.randn(M, Bm, F))
+    cdiff = {"side": jnp.asarray(rng.randn(M, Bm, F) * 0.5)}
+    caux = {"tgt": jnp.asarray(rng.randint(0, 5, (M, Bm)))}
+    return stacked, last_p, inject, cdiff, caux
+
+
+def _stage(local, x, cd, ca, extras, m):
+    """One device's layer slice: scan of tanh(w x + b + side)."""
+    def one(x, p):
+        return jnp.tanh(x @ p[0] + p[1] + cd["side"]), None
+
+    x, _ = jax.lax.scan(one, x, (local["w"], local["b"]))
+    return x
+
+
+def _last(last_p, y, cd, ca, m):
+    logits = y @ last_p["head"]
+    logp = jax.nn.log_softmax(logits)
+    nll = -jnp.take_along_axis(logp, ca["tgt"][:, None], axis=1)[:, 0]
+    loss = jnp.sum(nll)  # SUM over rows: dp shards add up exactly
+    metrics = {
+        "correct": jnp.sum(
+            (jnp.argmax(logits, -1) == ca["tgt"]).astype(jnp.float32)
+        ),
+        "loss": loss,
+    }
+    return loss, metrics
+
+
+def _sequential(stacked, last_p, inject, cdiff, caux):
+    """The oracle: same math, plain composition, full autodiff."""
+    M = inject.shape[0]
+
+    def total(stacked, last_p, inject, cdiff):
+        losses = 0.0
+        correct = 0.0
+        for m in range(M):
+            x = inject[m]
+            cd = {"side": cdiff["side"][m]}
+            ca = {"tgt": caux["tgt"][m]}
+            # the full stack = all L layers (each pipeline device holds L/pp)
+            def one(x, p):
+                return jnp.tanh(x @ p[0] + p[1] + cd["side"]), None
+
+            x, _ = jax.lax.scan(one, x, (stacked["w"], stacked["b"]))
+            loss, metrics = _last(last_p, x, cd, ca, m)
+            losses = losses + loss
+            correct = correct + metrics["correct"]
+        return losses, correct
+
+    (loss, correct), grads = jax.value_and_grad(
+        total, argnums=(0, 1, 2, 3), has_aux=True
+    )(stacked, last_p, inject, cdiff)
+    return loss, correct, grads
+
+
+@pytest.mark.parametrize("dp,pp,M,Bm", [
+    (1, 4, 4, 4),    # square schedule
+    (1, 4, 8, 2),    # more microbatches than stages (smaller bubble)
+    (1, 2, 3, 4),    # odd M
+    (2, 4, 4, 4),    # composed with dp (rows shard)
+    (1, 8, 8, 2),    # full-depth mesh
+])
+def test_1f1b_matches_sequential_autodiff(dp, pp, M, Bm):
+    assert L % pp == 0
+    stacked, last_p, inject, cdiff, caux = _toy_problem(M, Bm)
+    mesh = make_mesh(dp=dp, pp=pp, devices=jax.devices()[: dp * pp])
+
+    loss, metrics, g_stage, g_last, d_inject, d_cdiff = jax.jit(
+        lambda *a: pipelined_value_and_grad(
+            _stage, _last, *a, extras={}, mesh=mesh, n_microbatches=M
+        )
+    )(stacked, last_p, inject, cdiff, caux)
+
+    ref_loss, ref_correct, (g_s_ref, g_l_ref, d_i_ref, d_c_ref) = (
+        _sequential(stacked, last_p, inject, cdiff, caux)
+    )
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(metrics["correct"]), float(ref_correct), rtol=0
+    )
+    tol = dict(rtol=2e-5, atol=2e-6)
+    for got, ref, name in [
+        (g_stage, g_s_ref, "stage"),
+        (g_last, g_l_ref, "last"),
+        (d_inject, d_i_ref, "inject"),
+        (d_cdiff, d_c_ref, "cdiff"),
+    ]:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), err_msg=name, **tol
+            ),
+            got, ref,
+        )
+
+
+def test_1f1b_schedule_closed_form():
+    """The closed-form tick schedule is a valid 1F1B program: every op runs
+    exactly once, dependencies are respected, no device runs two ops in one
+    tick, and the in-flight window never exceeds pp - d (the memory claim
+    in the module docstring)."""
+    for pp, M in [(2, 3), (3, 4), (4, 4), (4, 9), (8, 8)]:
+        T = 2 * (M + pp - 1)
+        t_F = {}
+        t_B = {}
+        for d in range(pp):
+            for m in range(M):
+                t_F[(m, d)] = m + d if m + d <= pp - 1 else 2 * m + d
+                t_B[(m, d)] = 2 * m + 2 * pp - 1 - d
+        # one op per (device, tick); last stage runs no separate fwd
+        busy = {}
+        for (m, d), t in t_F.items():
+            if d == pp - 1:
+                continue
+            assert (d, t) not in busy, (pp, M, d, t)
+            busy[(d, t)] = ("F", m)
+        for (m, d), t in t_B.items():
+            assert (d, t) not in busy, (pp, M, d, t)
+            busy[(d, t)] = ("B", m)
+            assert t < T
+        # dependencies
+        for m in range(M):
+            for d in range(pp - 1):
+                if d + 1 <= pp - 2:
+                    assert t_F[(m, d + 1)] > t_F[(m, d)]
+                assert t_B[(m, d)] > t_B[(m, d + 1)]
+            # last stage's fused fwd+bwd happens after its input arrives
+            assert t_B[(m, pp - 1)] > (
+                t_F[(m, pp - 2)] if pp >= 2 else -1
+            )
+        # in-flight window (arrived, bwd pending) <= pp per device
+        for d in range(pp):
+            for t in range(T):
+                live = sum(
+                    1
+                    for m in range(M)
+                    if (t_F[(m, d - 1)] + 1 if d > 0 else t_F[(m, d)])
+                    <= t <= t_B[(m, d)]
+                )
+                assert live <= pp, (pp, M, d, t, live)
+
+
+def _futr_cfg(pp_schedule="1f1b", n_layers=4, **mesh_kw):
+    import dataclasses
+
+    from r3d_tpu.config import get_config, MeshConfig, ModelConfig, TrainConfig
+
+    cfg = get_config("synthetic")
+    return cfg.replace(
+        model=ModelConfig(
+            model="futr", hidden_dim=16, n_head=2, n_encoder_layers=1,
+            n_decoder_layers=n_layers, n_query=6, input_dim=12,
+            max_pos_len=64, compute_dtype="float32", dropout=0.0,
+            log_erank=False,
+        ),
+        train=TrainConfig(loop="futr", batch_size=8, min_train_batch=0,
+                          exclude_class_idx=None),
+        mesh=MeshConfig(pp_schedule=pp_schedule, **mesh_kw),
+    )
+
+
+def _futr_batch(B=8, S=24, in_dim=12, n_class=7, nq=6, seed=0):
+    rng = np.random.RandomState(seed)
+    pad = n_class + 1
+    past = rng.randint(0, n_class, (B, S)).astype(np.int32)
+    past[0, S - 4:] = pad
+    tgt = rng.randint(0, n_class, (B, nq)).astype(np.int32)
+    tgt[1, nq - 2:] = pad
+    dur = rng.rand(B, nq).astype(np.float32)
+    dur[1, nq - 2:] = pad
+    return {
+        "features": rng.randn(B, S, in_dim).astype(np.float32),
+        "past_label": past,
+        "trans_future_target": tgt,
+        "trans_future_dur": dur,
+    }
+
+
+@pytest.mark.parametrize("dp,pp,M", [(1, 4, 4), (2, 2, 4)])
+def test_1f1b_futr_step_matches_grad_accum(dp, pp, M):
+    """The 1f1b train step's update == make_accum_step over the same M
+    microbatches on a single device (the stated semantics: mean of
+    per-microbatch losses), at dropout 0."""
+    from r3d_tpu.parallel.mesh import set_active_mesh
+    from r3d_tpu.train.loop import Trainer
+
+    n_class = 7
+    cfg = _futr_cfg(dp=dp, pp=pp, pp_microbatches=M)
+    batch = _futr_batch(n_class=n_class)
+
+    # oracle: grad accumulation on a single device, K = M microbatches
+    t_ref = Trainer(cfg.replace(mesh=cfg.mesh.__class__()), n_class)
+    state0 = t_ref.init_state(jax.random.PRNGKey(3), batch, steps_per_epoch=4)
+    host0 = jax.device_get(state0)
+    Bm = batch["features"].shape[0] // M
+    stacked = jax.tree.map(
+        lambda x: jnp.asarray(
+            np.stack([x[i * Bm:(i + 1) * Bm] for i in range(M)])
+        ),
+        batch,
+    )
+    s_ref, m_ref = t_ref.make_accum_step()(
+        state0, stacked, jax.random.PRNGKey(9), 0
+    )
+
+    mesh = make_mesh(dp=dp, pp=pp, devices=jax.devices()[: dp * pp])
+    set_active_mesh(mesh)
+    try:
+        t = Trainer(cfg, n_class, mesh=mesh)
+        t.tx = t_ref.tx
+        state1 = jax.tree.map(jnp.asarray, host0)
+        step = t.make_train_step()  # routes to make_1f1b_train_step
+        s_1f1b, m_1f1b = step(
+            state1, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(9), 0
+        )
+    finally:
+        set_active_mesh(None)
+
+    np.testing.assert_allclose(
+        float(m_1f1b["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_1f1b["cls_correct"]), float(m_ref["cls_correct"]), rtol=1e-6
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        jax.device_get(s_1f1b.params), jax.device_get(s_ref.params),
+    )
+
+
+def test_1f1b_unsupported_configs_fail_loudly():
+    """A requested 1f1b schedule must never silently degrade: unsupported
+    model/loop/mesh combinations raise with the reason."""
+    from r3d_tpu.parallel.mesh import set_active_mesh
+    from r3d_tpu.train.loop import Trainer
+
+    import dataclasses
+
+    mesh = make_mesh(dp=2, pp=4, devices=jax.devices())
+    set_active_mesh(mesh)
+    try:
+        for breakage, err in [
+            (dict(model="futr_fusion_bn"), "model"),
+            (dict(), "loop"),   # paired with loop override below
+        ]:
+            cfg = _futr_cfg(dp=2, pp=4)
+            cfg = cfg.replace(
+                model=dataclasses.replace(cfg.model, **breakage)
+            )
+            if err == "loop":
+                cfg = cfg.replace(
+                    train=dataclasses.replace(cfg.train, loop="proposed_depth")
+                )
+            t = Trainer(cfg, 7, mesh=mesh)
+            with pytest.raises(ValueError, match="1f1b"):
+                t.make_train_step()
+        # layers not divisible into stages
+        cfg = _futr_cfg(dp=2, pp=4, n_layers=3)
+        with pytest.raises(ValueError, match="stages"):
+            Trainer(cfg, 7, mesh=mesh).make_train_step()
+    finally:
+        set_active_mesh(None)
