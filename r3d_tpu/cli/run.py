@@ -141,9 +141,18 @@ def train(config: Config, seed: int, dataset_ops: str = "",
                     )
 
                     try:
-                        hybrid = hybrid_cache_from_source(
-                            src, config.data, config.model.n_query
-                        )
+                        try:
+                            hybrid = hybrid_cache_from_source(
+                                src, config.data, config.model.n_query
+                            )
+                        except MemoryError:
+                            # 'longest' (the measured-best default) needs
+                            # the longest unit to fit; fall back to
+                            # shortest-first rather than no cache at all
+                            hybrid = hybrid_cache_from_source(
+                                src, config.data, config.model.n_query,
+                                policy="ascending",
+                            )
                         log(f"hybrid cache: {hybrid.cache.nbytes >> 20} MiB "
                             f"in HBM, {100 * (1 - hybrid.host_frac):.0f}% of "
                             f"views device-resident")

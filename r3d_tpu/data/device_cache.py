@@ -480,14 +480,38 @@ def _unit_probe(source, cfg):
 
 
 def hybrid_cache_from_source(
-    source, cfg, n_query: int, max_bytes: int = 12 << 30
+    source, cfg, n_query: int, max_bytes: int = 12 << 30,
+    policy: str = "longest",
 ):
-    """Build a :class:`HybridCache`: greedily cache units ASCENDING by
-    feature rows (maximizes the number of device-resident views — per-video
-    device arrays pad to the set's longest video, so short videos are the
-    cheapest residents) until the padded footprint estimate hits
-    ``max_bytes``.  Raises MemoryError when not even the smallest unit fits.
+    """Build a :class:`HybridCache`: greedily cache units by ``policy``
+    until the padded footprint estimate hits ``max_bytes``.  Raises
+    MemoryError when not even the smallest unit fits.
+
+    - ``'longest'`` (default): longest units first — the remaining host
+      rows are SHORT, so the per-batch host part ships at a small
+      own-bucket length (fit_hybrid pads the host part to
+      bucket(host max), not the batch bucket), and the budget fills
+      completely (the per-unit cost model charges pad-to-resident-max, so
+      the first unit already sets the max).
+    - ``'ascending'``: shortest units first — maximizes the number of
+      device-resident views, but leaves the LONGEST videos streaming
+      through the host AND strands budget the moment one long unit would
+      raise the pad-to-max cost of every resident.
+
+    Measured A/B on the chip (tools/measure_hybrid.py ab, 2026-08 r4;
+    bimodal 128/512-frame videos, same 50% byte budget): longest 16.8
+    clips/s = 9.88x the host loader (short host rows ride the small
+    bucket) vs ascending 2.4 = 1.41x (its hosts rows are the 512-frame
+    monsters, and the pad-to-max model let it use only a quarter of the
+    budget).  On equal-length datasets the policies coincide.  'longest'
+    is therefore the default; 'ascending' remains for view-count-bound
+    workloads.  Raises MemoryError when policy='longest' and the longest
+    unit alone exceeds the budget — switch to 'ascending' to cache
+    something.
     """
+    if policy not in ("ascending", "longest"):
+        raise ValueError(f"unknown hybrid cache policy {policy!r} "
+                         "(supported: 'ascending', 'longest')")
     if cfg.gaze_dir is not None:
         raise ValueError("device cache does not support gaze query streams")
     if cfg.raw_frames or cfg.multi_sequence:
@@ -496,6 +520,8 @@ def hybrid_cache_from_source(
         raise ValueError("hybrid cache supports the flat on-disk layout")
     units, frows, frb, drows, drb, lrows = _unit_probe(source, cfg)
     order = np.argsort(frows, kind="stable")
+    if policy == "longest":
+        order = order[::-1]
     cached_pos: List[int] = []
     fmax = dmax = lmax = 0
     for j in order:

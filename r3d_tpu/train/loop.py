@@ -1177,6 +1177,18 @@ class Trainer:
         unsup = self.config.train.loop == "unsupervised"
         max_segments = self.config.train.max_segments
 
+        # pad constants for extending a host row from its own bucket Sh to
+        # the batch bucket S on device — identical to pad_batch's
+        # (data/pipeline.py: features/depth 0, labels pad_idx, int query
+        # streams query_pad_idx), so the assembled batch stays bit-equal to
+        # the host collate at S
+        s_axis_pad = {
+            "features": 0, "depth_features": 0, "past_label": pad_idx,
+            "query_label": (
+                pad_idx if query_pad_idx is None else query_pad_idx
+            ),
+        }
+
         @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0,))
         def hybrid_step(state, data, view_ids, host_pos, host_part, S, rng,
                         epoch):
@@ -1184,6 +1196,16 @@ class Trainer:
                 data, view_ids, S, sample_rate, pad_idx, query_pad_idx
             )
             for k, v in host_part.items():
+                if k in s_axis_pad and v.shape[1] < S:
+                    # the host part ships at ITS OWN bucket (host rows can
+                    # be far shorter than the batch's cached rows — fewer
+                    # H2D bytes); extend to S here with pad_batch's values
+                    v = jnp.pad(
+                        v,
+                        ((0, 0), (0, S - v.shape[1]))
+                        + ((0, 0),) * (v.ndim - 2),
+                        constant_values=s_axis_pad[k],
+                    )
                 # duplicate positions (power-of-two padding repeats the last
                 # host row) write identical values — deterministic scatter
                 batch[k] = batch[k].at[host_pos].set(v.astype(batch[k].dtype))
@@ -1285,8 +1307,15 @@ class Trainer:
                     cached_id[chunk] >= 0, cached_id[chunk], 0
                 ).astype(np.int32)
                 if examples:
+                    # the host part pads to its OWN bucket (<= the batch
+                    # bucket S): when the resident set holds the long videos
+                    # the host rows are short and the H2D shrinks with them;
+                    # hybrid_step extends rows to S on device
+                    Sh = bucket_length(
+                        max(len(e.features) for e in examples), cache.buckets
+                    )
                     part = pad_batch(
-                        examples, cache.pad_idx, (S,), cache.n_query,
+                        examples, cache.pad_idx, (Sh,), cache.n_query,
                         with_depth=hybrid.with_depth,
                         with_query=hybrid.with_query,
                         feature_dtype=cache.feature_dtype,

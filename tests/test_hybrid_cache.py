@@ -116,18 +116,35 @@ def test_budget_too_small_raises(disk_tree):
         hybrid_cache_from_source(src, cfg.data, NQ, max_bytes=1024)
 
 
-@pytest.mark.parametrize("split", ["partial", "all_cached"])
+@pytest.mark.parametrize("split", ["partial", "all_cached",
+                                   "partial_longest"])
 def test_fit_hybrid_equals_fit(disk_tree, split):
     """The invariant: fit_hybrid reproduces fit() bit-for-bit — same batch
-    composition, same dropout keys, same final params, same printed logs."""
+    composition, same dropout keys, same final params, same printed logs.
+
+    'partial_longest' caches longest-first, leaving the SHORT videos on
+    host — their part ships at its own (smaller) bucket and the device
+    step's pad-to-S extension must reproduce pad_batch's constants exactly
+    (loop.py: make_hybrid_train_fn s_axis_pad)."""
     cfg = make_cfg(disk_tree)
     src = build_source(cfg.data, "train_split.txt")
     val_src = build_source(cfg.data, "val_split.txt")
     budget = full_budget(src, cfg.data)
-    if split == "partial":
+    if split != "all_cached":
         budget //= 2
-    h = hybrid_cache_from_source(src, cfg.data, NQ, max_bytes=budget)
-    assert (h.host_frac > 0) == (split == "partial")
+    h = hybrid_cache_from_source(
+        src, cfg.data, NQ, max_bytes=budget,
+        policy="longest" if split == "partial_longest" else "ascending",
+    )
+    assert (h.host_frac > 0) == (split != "all_cached")
+    if split == "partial_longest":
+        # the policy difference is observable: longest-first leaves short
+        # videos streaming, ascending leaves long ones
+        h_asc = hybrid_cache_from_source(
+            src, cfg.data, NQ, max_bytes=budget, policy="ascending"
+        )
+        assert not np.array_equal(h.view_cached_id >= 0,
+                                  h_asc.view_cached_id >= 0)
 
     def loaders():
         return (

@@ -9,6 +9,15 @@ between processes); clips/s read from each loop's own epoch log; first
 epochs pay compiles (hybrid compiles one program per host-row-count bucket
 {1,2,4,8} per (S, B)), so the max over the later epochs is reported.
 
+``python tools/measure_hybrid.py ab [residency]`` runs the residency-POLICY
+A/B instead (VERDICT r4 item 6): 'ascending' vs 'longest' at the same byte
+budget on a bimodal 128/512-frame set. Measured 2026-08 on the tunnel v5e:
+longest 16.8 clips/s (9.88x host) vs ascending 2.4 (1.41x) vs host 1.7 —
+longest-first leaves only SHORT rows on the host path (they ship at their
+own small bucket) and fills the whole budget, while ascending strands 3/4
+of it under the pad-to-resident-max cost model; 'longest' is now the
+default policy (data/device_cache.py: hybrid_cache_from_source).
+
 Usage: python tools/measure_hybrid.py [residency_frac]
 """
 
@@ -27,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_tree(root, n_videos, S, in_dim, depth_shape):
+def build_tree(root, n_videos, S, in_dim, depth_shape, lengths=None):
     rng = np.random.RandomState(0)
     acts = [f"a{i}" for i in range(16)]
     base = os.path.join(root, "utkinect")
@@ -37,7 +46,7 @@ def build_tree(root, n_videos, S, in_dim, depth_shape):
         f.write("".join(f"{i} {a}\n" for i, a in enumerate(acts)))
     vids = []
     for v in range(n_videos):
-        L = S
+        L = S if lengths is None else int(lengths[v])
         labels = [acts[int(x)] for x in (np.arange(L) // 16) % 16]
         np.save(os.path.join(base, "features_img", f"v{v}.npy"),
                 rng.randn(L, in_dim).astype(np.float32))
@@ -146,5 +155,105 @@ def main(residency=0.5, n_videos=64, epochs=4, B=8, S=256):
     }))
 
 
+def policy_ab(residency=0.5, n_videos=32, epochs=3, B=8):
+    """Residency-policy A/B (VERDICT r3 next #6): 'ascending' vs 'longest'
+    at the SAME byte budget, on a MIXED-length dataset (half 128-frame,
+    half 512-frame videos — bimodal, so the compile-shape count stays
+    bounded on the tunnel) where the policies genuinely diverge —
+    ascending keeps more (short) views resident, longest keeps the big rows
+    off the host path so the per-batch host part ships at a small own
+    bucket.  Both arms interleave in one process with the host-fit control.
+    """
+    from r3d_tpu.config import get_config
+    from r3d_tpu.data.datasets import build_loader, build_source
+    from r3d_tpu.data.device_cache import (
+        _unit_probe, hybrid_cache_from_source,
+    )
+    from r3d_tpu.train.loop import Trainer
+
+    rng = np.random.RandomState(7)
+    lengths = np.array([128, 512] * (n_videos // 2))
+    rng.shuffle(lengths)
+    tmp = tempfile.mkdtemp(prefix="hybrid_ab_")
+    build_tree(tmp, n_videos, 512, 2048, (160, 120), lengths=lengths)
+
+    config = get_config("utkinects")
+    config = config.replace(
+        data=dataclasses.replace(
+            config.data, data_root=tmp, seq_buckets=(128, 512),
+            depth_shape=(160, 120), train_obs_percs=(0.5, 0.99),
+            sample_rate=1),
+        train=dataclasses.replace(
+            config.train, batch_size=B, min_train_batch=0,
+            exclude_class_idx=None, epochs=epochs, steps_per_dispatch=1),
+        model=dataclasses.replace(config.model, log_erank=False),
+    )
+    src = build_source(config.data, "train_split.txt")
+    units, frows, frb, drows, drb, lrows = _unit_probe(src, config.data)
+    full = len(units) * (
+        int(frows.max()) * frb + int(drows.max()) * drb + int(lrows.max()) * 4
+    )
+    budget = int(full * residency)
+    hybrids = {
+        p: hybrid_cache_from_source(
+            src, config.data, config.model.n_query, max_bytes=budget,
+            policy=p,
+        )
+        for p in ("ascending", "longest")
+    }
+
+    def loader(shuffle=True, seed=1):
+        return build_loader(src, config.data, B, config.model.n_query,
+                            mode="train", shuffle=shuffle, seed=seed)
+
+    example = next(iter(loader(False)))
+    trainer = Trainer(config, src.n_class)
+    state0 = trainer.init_state(
+        jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, example),
+        steps_per_epoch=max(1, len(units) * 2 // B),
+    )
+    state_host = jax.device_get(state0)
+
+    cps = {"host_fit": [], "ascending": [], "longest": []}
+
+    def capture(tag):
+        def log(msg):
+            m = re.search(r"\(([\d.]+) clips/s\)", str(msg))
+            if m:
+                cps[tag].append(float(m.group(1)))
+        return log
+
+    for arm in range(2):
+        t = Trainer(config, src.n_class)
+        t.tx = trainer.tx
+        t.fit(jax.tree.map(jnp.asarray, state_host), loader(True),
+              loader(False), seed=1, log=capture("host_fit"))
+        for p, h in hybrids.items():
+            tp = Trainer(config, src.n_class)
+            tp.tx = trainer.tx
+            tp.fit_hybrid(jax.tree.map(jnp.asarray, state_host), h,
+                          loader(False), seed=1, log=capture(p))
+
+    pick = lambda tag: max(cps[tag][epochs:])
+    host = pick("host_fit")
+    out = {
+        "workload": (
+            f"futr_fusion_bn B={B} depth=160x120 bf16, {n_videos} videos "
+            f"bimodal 128/512 frames x 2 obs, budget={residency:.0%} of full"
+        ),
+        "host_fit_clips_per_sec": round(host, 1),
+        "device": str(jax.devices()[0]),
+    }
+    for p, h in hybrids.items():
+        out[f"{p}_clips_per_sec"] = round(pick(p), 1)
+        out[f"{p}_vs_host"] = round(pick(p) / host, 2)
+        out[f"{p}_resident_views_pct"] = round(100 * (1 - h.host_frac), 1)
+        out[f"{p}_cache_mib"] = h.cache.nbytes >> 20
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main(*(float(a) for a in sys.argv[1:]))
+    if len(sys.argv) > 1 and sys.argv[1] == "ab":
+        policy_ab(*(float(a) for a in sys.argv[2:]))
+    else:
+        main(*(float(a) for a in sys.argv[1:]))
