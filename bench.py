@@ -5,9 +5,13 @@ reference run on the same shapes): UTKinect config — B=8, S=256, 2048-d RGB
 features, 160x120 raw depth, hidden 128, BN token fuser, full train step
 (forward, seg+weighted-CE+duration losses, backward, AdamW, BN stats).
 
-The details block carries the second BASELINE workload: the PUBLISHED
-50salads shape (h512/S3100/enc2/dec2/nq20, scripts/50s_train.sh:1-5, bf16)
-vs tools/measure_baseline_50s.py.
+The details block carries the other BASELINE workloads: the PUBLISHED
+50salads shape (h512/S3100/enc2/dec2/nq20, scripts/50s_train.sh:1-5, bf16,
+at B=8 and the B=16 utilization point) vs tools/measure_baseline_50s.py,
+the PUBLISHED Breakfast shape (bs16/S2000/h128/enc2/dec1,
+scripts/bf_train.sh:2-6) vs tools/measure_baseline_bf.py, and the darai
+unsupervised-curriculum composite step (train_unsupervised.py:294-362)
+vs tools/measure_baseline_unsup.py — all five blueprint configs.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against baseline_cpu.json (torch-CPU reference,
@@ -235,6 +239,60 @@ def main(profile_dir: str = None):
         sec50 = min(sec50, (time.time() - t0) / (3 * K50))
     cps50 = B / sec50
 
+    # --- third workload: the published Breakfast shape (bs16 S2000 h128
+    # enc2 dec1, scripts/bf_train.sh:2-6, bf16 per the shipped config) ---
+    from tools.measure_r2 import make_futr_bf
+
+    tr_bf, st_bf, b_bf = make_futr_bf(batch_size=16)
+    step_bf, flops_bf = aot_step(tr_bf.make_train_step(), st_bf, b_bf, rng, 0)
+    st_bf, m_bf = step_bf(st_bf, b_bf, rng, 0)
+    float(m_bf["loss"])
+    sec_bf = float("inf")
+    for rep in range(3):
+        t0 = time.time()
+        for i in range(10):
+            st_bf, m_bf = step_bf(st_bf, b_bf, jax.random.fold_in(rng, i), 0)
+        float(m_bf["loss"])
+        sec_bf = min(sec_bf, (time.time() - t0) / 10)
+    del st_bf, b_bf
+
+    # --- fourth workload: the darai unsupervised-curriculum step (gated
+    # composite: focal L3 + cluster supcon + warmup blend + how-much-wrong
+    # gate, train_unsupervised.py:294-362) ---
+    from tools.measure_r2 import make_unsup_darai
+
+    tr_un, st_un, b_un = make_unsup_darai(batch_size=8, S=512)
+    step_un, flops_un = aot_step(tr_un.make_train_step(), st_un, b_un, rng, 0)
+    st_un, m_un = step_un(st_un, b_un, rng, 0)
+    float(m_un["loss"])
+    sec_un = float("inf")
+    for rep in range(3):
+        t0 = time.time()
+        for i in range(10):
+            st_un, m_un = step_un(st_un, b_un, jax.random.fold_in(rng, i), 0)
+        float(m_un["loss"])
+        sec_un = min(sec_un, (time.time() - t0) / 10)
+    del st_un, b_un
+
+    # --- 50salads at B=16: the utilization-scaling point (B=8 is
+    # bandwidth/dispatch-bound at ~27% MFU; doubling the batch feeds the
+    # MXU more rows per weight read) ---
+    tr5016, st5016, b5016 = make_futr_50s(
+        "bfloat16", batch_size=16, feature_dtype="bfloat16")
+    step5016, flops5016 = aot_step(
+        tr5016.make_train_step(), st5016, b5016, rng, 0)
+    st5016, m5016 = step5016(st5016, b5016, rng, 0)
+    float(m5016["loss"])
+    sec5016 = float("inf")
+    for rep in range(3):
+        t0 = time.time()
+        for i in range(10):
+            st5016, m5016 = step5016(
+                st5016, b5016, jax.random.fold_in(rng, i), 0)
+        float(m5016["loss"])
+        sec5016 = min(sec5016, (time.time() - t0) / 10)
+    del st5016, b5016
+
     baseline_path = os.path.join(os.path.dirname(__file__), "baseline_cpu.json")
     baseline_cps = 22.137841088845267  # torch-CPU reference (measured)
     if os.path.exists(baseline_path):
@@ -246,6 +304,16 @@ def main(profile_dir: str = None):
     if os.path.exists(baseline_50s_path):
         with open(baseline_50s_path) as f:
             baseline_50s_cps = json.load(f)["train_clips_per_sec"]
+
+    def _baseline_cps(name):
+        path = os.path.join(os.path.dirname(__file__), f"baseline_cpu_{name}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)["train_clips_per_sec"]
+        return None
+
+    baseline_bf_cps = _baseline_cps("bf")
+    baseline_unsup_cps = _baseline_cps("unsup")
 
     cached_cps = B / cached_sec
     print(
@@ -294,6 +362,38 @@ def main(profile_dir: str = None):
                     ),
                     "fusion_B64_train_clips_per_sec": round(64 / sec64, 2),
                     "fusion_B64_train_step_ms": round(sec64 * 1e3, 2),
+                    "breakfast_workload": (
+                        "futr B=16 S=2000 h=128 enc2 dec1 nq8 bf16 "
+                        "(scripts/bf_train.sh), single-dispatch"
+                    ),
+                    "breakfast_train_clips_per_sec": round(16 / sec_bf, 2),
+                    "breakfast_train_step_ms": round(sec_bf * 1e3, 2),
+                    "breakfast_vs_baseline": (
+                        round(16 / sec_bf / baseline_bf_cps, 2)
+                        if baseline_bf_cps else None
+                    ),
+                    "breakfast_achieved_tflops": (
+                        round(flops_bf / sec_bf / 1e12, 2) if flops_bf
+                        else None
+                    ),
+                    "unsup_workload": (
+                        "futr_unsupervised B=8 S=512 h=128 qnum48, gated "
+                        "composite (train_unsupervised.py:294-362), "
+                        "single-dispatch"
+                    ),
+                    "unsup_train_clips_per_sec": round(8 / sec_un, 2),
+                    "unsup_train_step_ms": round(sec_un * 1e3, 2),
+                    "unsup_vs_baseline": (
+                        round(8 / sec_un / baseline_unsup_cps, 2)
+                        if baseline_unsup_cps else None
+                    ),
+                    "50salads_B16_train_clips_per_sec": round(
+                        16 / sec5016, 2),
+                    "50salads_B16_train_step_ms": round(sec5016 * 1e3, 2),
+                    "50salads_B16_achieved_tflops": (
+                        round(flops5016 / sec5016 / 1e12, 2) if flops5016
+                        else None
+                    ),
                     "achieved_tflops": (
                         round(flops / cached_sec / 1e12, 2) if flops else None
                     ),

@@ -79,6 +79,88 @@ def make_futr_50s(compute_dtype="float32", batch_size=8,
     return trainer, state, batch
 
 
+def make_futr_bf(batch_size=16):
+    """Breakfast-published-shape trainer + batch on synthetic data
+    (scripts/bf_train.sh:2-6: bs16 h128 enc2 dec1 S2000; bf16 per the
+    shipped breakfast config)."""
+    import dataclasses
+
+    from r3d_tpu.config import get_config
+    from r3d_tpu.data.pipeline import BucketedLoader
+    from r3d_tpu.data.synthetic import SyntheticSource
+    from r3d_tpu.train.loop import Trainer
+
+    S = 2000
+    src = SyntheticSource(
+        n_videos=batch_size, n_actions=48, vid_len_range=(S, S + 1),
+        input_dim=2048, seed=0,
+    )
+    config = get_config("breakfast")
+    config = config.replace(
+        data=dataclasses.replace(
+            config.data, dataset="synthetic", seq_buckets=(S,)),
+        train=dataclasses.replace(
+            config.train, batch_size=batch_size, min_train_batch=0),
+        model=dataclasses.replace(config.model, log_erank=False),
+    )
+    fn, n = src.make_example_fn(obs_percs=(0.99,), sample_rate=1, n_query=8)
+    loader = BucketedLoader(
+        num_examples=n, make_example_fn=fn, batch_size=batch_size,
+        pad_idx=src.pad_idx, buckets=(S,), n_query=8, with_depth=False,
+        drop_remainder=True, feature_dtype=config.data.feature_dtype,
+    )
+    batch = jax.tree.map(jnp.asarray, next(iter(loader)))
+    trainer = Trainer(config, src.n_class)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, steps_per_epoch=100)
+    return trainer, state, batch
+
+
+def make_unsup_darai(batch_size=8, S=512):
+    """darai unsupervised-curriculum trainer + batch: futr_unsupervised
+    (query_num 48) under loop='unsupervised' — the gated composite of
+    train_unsupervised.py:294-362 (focal L3 + temporal-cluster supcon
+    blended by the triangular warmup, cls/dur/seg gated by how-much-wrong;
+    parity: tests/test_unsupervised_composite.py)."""
+    import dataclasses
+
+    from r3d_tpu.config import get_config
+    from r3d_tpu.data.pipeline import BucketedLoader
+    from r3d_tpu.data.synthetic import SyntheticSource
+    from r3d_tpu.losses.temporal import segment_ids_from_labels
+    from r3d_tpu.train.loop import Trainer
+
+    src = SyntheticSource(
+        n_videos=batch_size, n_actions=17, vid_len_range=(S, S + 1),
+        input_dim=2048, seed=0, n_query_classes=40,
+    )
+    config = get_config("darai")
+    config = config.replace(
+        data=dataclasses.replace(
+            config.data, dataset="synthetic", seq_buckets=(S,),
+            multi_sequence=False),
+        train=dataclasses.replace(
+            config.train, batch_size=batch_size, min_train_batch=0),
+        model=dataclasses.replace(config.model, log_erank=False),
+    )
+    fn, n = src.make_example_fn(obs_percs=(0.99,), sample_rate=1, n_query=8)
+    loader = BucketedLoader(
+        num_examples=n, make_example_fn=fn, batch_size=batch_size,
+        pad_idx=src.pad_idx, buckets=(S,), n_query=8, with_depth=False,
+        with_query=True, drop_remainder=True,
+        feature_dtype=config.data.feature_dtype,
+    )
+    batch = dict(next(iter(loader)))
+    # the unsupervised loop's host path derives seg_ids per batch
+    # (train/loop.py: host_batches)
+    batch["seg_ids"] = segment_ids_from_labels(
+        batch["query_label"], None, config.train.max_segments
+    )
+    batch = jax.tree.map(jnp.asarray, batch)
+    trainer = Trainer(config, src.n_class)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, steps_per_epoch=100)
+    return trainer, state, batch
+
+
 def make_fusion(compute_dtype="float32", batch_size=8, use_pallas=True,
                 embed_dtype=None, feature_dtype="float32"):
     import dataclasses
