@@ -398,8 +398,11 @@ CONFIGS = {
             query_num=20,
             seg_excludes_none=True, compute_dtype="bfloat16",
         ),
-        train=TrainConfig(loop="futr", batch_size=8, epochs=70, min_train_batch=0,
-                          device_cache=True),
+        # main_proposed_50salads.py:27 imports train_proposed: two-metric
+        # best gate + model.train() restored after validate (non-sticky);
+        # batches under 8 rows skip (train_proposed.py:164)
+        train=TrainConfig(loop="proposed", batch_size=8, epochs=70,
+                          min_train_batch=8, device_cache=True),
         # predict_50salads.py:198-232: micro-pooled plain ant accuracy
         eval=EvalConfig(ant_acc_mode="micro"),
     ),
@@ -447,8 +450,11 @@ CONFIGS = {
             query_num=49,  # 48 fine classes + query pad slot (COMPAT #26)
             seg_excludes_none=True, compute_dtype="bfloat16",
         ),
-        train=TrainConfig(loop="futr", batch_size=16, epochs=60,
-                          min_train_batch=0, device_cache=True),
+        # main_proposed.py:21 imports train_proposed: two-metric best gate +
+        # model.train() restored after validate (non-sticky); batches under
+        # 8 rows skip (train_proposed.py:164)
+        train=TrainConfig(loop="proposed", batch_size=16, epochs=60,
+                          min_train_batch=8, device_cache=True),
         # predict_breakfast.py: observed-row skip at 2000 (:216), per-video
         # plain ant accuracy (:36), live 0/1 query re-encoding (:239-252)
         eval=EvalConfig(max_eval_len=2000, ant_acc_mode="unweighted",
