@@ -443,7 +443,7 @@ class Trainer:
         if cfg.model != "futr":
             bail(f"model {cfg.model!r} (only 'futr' has the pre/stage/last "
                  "split; fusion models mutate BN stats inside the pre)")
-        if self.config.train.loop not in ("futr",):
+        if self.config.train.loop not in ("futr", "proposed"):
             bail(f"loop {self.config.train.loop!r} (losses must live "
                  "entirely in the last stage; the unsupervised composite "
                  "reads pre-decoder streams)")
