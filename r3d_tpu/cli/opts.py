@@ -44,6 +44,13 @@ def build_parser(default_config: str = "utkinects") -> argparse.ArgumentParser:
                         "sweep instead of averaging per-seed accuracies")
     # training (opts.py:72-88)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--val_batch_size", type=int, default=None,
+                   help="validation batch size (default: batch_size; the "
+                        "reference val loaders run batch_size=1 — required "
+                        "for batch-attending models, COMPAT #17)")
+    p.add_argument("--eval_batch", type=int, default=None,
+                   help="predict-sweep forward batch (default 8; 1 = the "
+                        "reference's per-video protocol)")
     p.add_argument("--test_batch_size", type=int, default=1)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--warmup_epochs", type=int, default=None)
@@ -145,7 +152,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
             model_over[field] = v
     train_over = {}
     for field, arg in [
-        ("batch_size", "batch_size"), ("epochs", "epochs"),
+        ("batch_size", "batch_size"), ("val_batch_size", "val_batch_size"),
+        ("epochs", "epochs"),
         ("warmup_epochs", "warmup_epochs"), ("lr", "lr"),
         ("weight_decay", "weight_decay"),
         ("steps_per_dispatch", "steps_per_dispatch"),
@@ -174,11 +182,16 @@ def config_from_args(args: argparse.Namespace) -> Config:
     if args.fsdp is not None:
         mesh_over["fsdp"] = args.fsdp
 
+    eval_over = {}
+    if args.eval_batch is not None:
+        eval_over["eval_batch"] = args.eval_batch
+
     return cfg.replace(
         data=dataclasses.replace(cfg.data, **data_over),
         model=dataclasses.replace(cfg.model, **model_over),
         train=dataclasses.replace(cfg.train, **train_over),
         mesh=dataclasses.replace(cfg.mesh, **mesh_over),
+        eval=dataclasses.replace(cfg.eval, **eval_over),
     )
 
 

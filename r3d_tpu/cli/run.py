@@ -70,7 +70,8 @@ def train(config: Config, seed: int, dataset_ops: str = "",
         mode="train", shuffle=True, seed=seed,
     )
     val_loader = build_loader(
-        sources["val"], config.data, config.train.batch_size,
+        sources["val"], config.data,
+        config.train.val_batch_size or config.train.batch_size,
         config.model.n_query, mode="val", shuffle=False,
     )
 
@@ -208,7 +209,8 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
             config.mesh.ep,
         )
         set_pipeline_microbatches(config.mesh.pp_microbatches)
-    predictor = Predictor(config, model, source.n_class, mesh=mesh)
+    predictor = Predictor(config, model, source.n_class,
+                          eval_batch=config.eval.eval_batch, mesh=mesh)
 
     cache_data = None
     if (config.train.device_cache and not config.data.raw_frames

@@ -191,6 +191,15 @@ class TrainConfig:
 
     loop: str = "proposed_depth"        # futr|proposed|proposed_depth|unimodal|unsupervised|tcn
     batch_size: int = 8
+    # Validation batch size (None = batch_size).  Every reference entry point
+    # builds its val loader with batch_size=1 (main_utkinects.py:176,
+    # main_darai.py:181, main.py:150); batching validation is safe only for
+    # batch-INVARIANT forwards — the gate metrics are computed per-row
+    # (COMPAT #5) so counters match at any batch size.  Models that attend
+    # ACROSS the batch (the futr_unsupervised self-attention family,
+    # COMPAT #17) are forward-batch-SENSITIVE: set 1 for the faithful
+    # reference protocol (the darai config does).
+    val_batch_size: Optional[int] = None
     epochs: int = 60
     warmup_epochs: int = 10
     lr: float = 1e-3
@@ -278,6 +287,12 @@ class EvalConfig:
     """MoC protocol (reference evaluation/predict_utkinects.py:235-241)."""
 
     eval_p: Tuple[float, ...] = (0.1, 0.2, 0.3, 0.5)
+    # Sweep forward batch (CLI predict -> Predictor(eval_batch=...)).  The
+    # reference evaluates one video at a time (predict_utkinects.py:302);
+    # batching the sweep is exact for batch-invariant forwards (padding
+    # exactness tests) — batch-attending models (COMPAT #17) need 1 for the
+    # faithful per-video protocol.
+    eval_batch: int = 8
     obs_percs: Tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     pred_p: float = 0.5
     # predict_breakfast.py:116 skips a video when its OBSERVED strided row
@@ -493,8 +508,13 @@ CONFIGS = {
         train=TrainConfig(
             loop="unsupervised", exclude_class_idx=None,
             l3_pad_idx=47, l3_exclude_idx=48, device_cache=True,
+            # the self-attention query family attends ACROSS the batch
+            # (COMPAT #17) — per-video validation is the only batch size
+            # that reproduces the reference protocol (main_darai.py:181)
+            val_batch_size=1,
         ),
-        eval=EvalConfig(exclude_class_idx=16),  # make_gif.py:370
+        # eval_batch=1: same batch-attending forward at the sweep
+        eval=EvalConfig(exclude_class_idx=16, eval_batch=1),  # make_gif.py:370
     ),
     # DARai gaze-query model (main_darai.py:19,34 comment toggles:
     # basedataset_darai_gaze + futr_unsupervised_multimodal). The gaze model

@@ -95,10 +95,9 @@ class Predictor:
             self.eval_batch = -(-eval_batch // dp) * dp
         # query-conditioned family (reference predict_with_query/predict.py:74:
         # model(inputs, query, mode='test'))
-        self.needs_query = config.model.model in (
-            "futr_unsupervised", "futr_proposed", "futr_gaze",
-            "futr_unsupervised_depth",
-        )
+        from r3d_tpu.models import model_needs_query
+
+        self.needs_query = model_needs_query(config.model.model)
         self._jit_forward = jax.jit(
             lambda variables, *args: model.apply(variables, *args, train=False)
         )

@@ -20,6 +20,26 @@ def is_fusion_model(name: str) -> bool:
     return name in _FUSION_MODELS
 
 
+# Models whose forward signature is (features, query, src_pad_mask, query_len)
+# — the FUTRUnsupervised family (reference call shape
+# ``model(inputs, query, mode=...)``, train_unsupervised.py:288,
+# predict_darai.py:318).  Trainer._model_inputs and Predictor build args from
+# this list; a model missing here would silently receive the pad mask in the
+# dead ``query`` slot and no mask at all.
+QUERY_MODELS = (
+    "futr_unsupervised",
+    "futr_proposed",
+    "futr_gaze",
+    "futr_unsupervised_depth",
+    "futr_unsupervised_temp2",
+    "futr_unsupervised_temp3",
+)
+
+
+def model_needs_query(name: str) -> bool:
+    return name in QUERY_MODELS
+
+
 def build_model(cfg: ModelConfig, n_class: int) -> Any:
     if cfg.model == "futr":
         return FUTR(cfg, n_class)

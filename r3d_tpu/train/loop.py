@@ -67,10 +67,9 @@ class Trainer:
         self.pad_idx = n_class + 1  # main_utkinects.py:109
         self.model = build_model(config.model, n_class)
         self.is_fusion = is_fusion_model(config.model.model)
-        self.needs_query = config.model.model in (
-            "futr_unsupervised", "futr_proposed", "futr_gaze",
-            "futr_unsupervised_depth",
-        )
+        from r3d_tpu.models import model_needs_query
+
+        self.needs_query = model_needs_query(config.model.model)
         self.mesh = mesh
         if mesh is not None:
             # lets row-parallel Pallas ops shard_map themselves over dp
@@ -1109,8 +1108,8 @@ class Trainer:
             vagg_dev: Dict[str, jnp.ndarray] = {}
             vb = 0
             vplan = epoch_plan(
-                val_cache, cfg.batch_size, 0, 0, shuffle=False,
-                drop_remainder=False,
+                val_cache, cfg.val_batch_size or cfg.batch_size, 0, 0,
+                shuffle=False, drop_remainder=False,
             )
             for (S, _B), idxs in self._group_same_shape(vplan, K):
                 vm = cached_eval(st, val_data, jnp.asarray(np.stack(idxs)), S)
@@ -1271,8 +1270,8 @@ class Trainer:
             vagg_dev: Dict[str, jnp.ndarray] = {}
             vb = 0
             vplan = epoch_plan(
-                val_cache, cfg.batch_size, 0, 0, shuffle=False,
-                drop_remainder=False,
+                val_cache, cfg.val_batch_size or cfg.batch_size, 0, 0,
+                shuffle=False, drop_remainder=False,
             )
             for (S, _B), idxs in self._group_same_shape(vplan, 1):
                 vm = cached_eval(st, val_data, jnp.asarray(np.stack(idxs)), S)

@@ -384,3 +384,81 @@ def test_futr_unsupervised_depth_raw_full_parity_eval():
             np.array(out[k]), ref_out[k].numpy(), atol=2e-3, rtol=2e-3,
             err_msg=k,
         )
+
+
+def test_temp_variants_receive_pad_mask_in_trainer():
+    """Regression (round 4): Trainer/Predictor built model args from a
+    hard-coded query-model list that omitted temp2/temp3, so their pad mask
+    landed in the dead ``query`` positional and the transformer never masked
+    padded memory.  The list is now shared (models.QUERY_MODELS); this pins
+    (a) the flag for every family member and (b) the semantics — a temp2
+    TRAIN forward through Trainer's input building must be invariant to
+    garbage in padded feature rows (the reference masks them via
+    src_key_padding_mask, futr_unsupervised_temp2.py:86-88)."""
+    from r3d_tpu.config import Config, DataConfig, TrainConfig
+    from r3d_tpu.models import QUERY_MODELS, model_needs_query
+    from r3d_tpu.train.loop import Trainer
+
+    for name in ("futr_unsupervised_temp2", "futr_unsupervised_temp3"):
+        assert model_needs_query(name), name
+    assert set(QUERY_MODELS) >= {
+        "futr_unsupervised", "futr_proposed", "futr_gaze",
+        "futr_unsupervised_depth",
+    }
+
+    cfg = Config(
+        name="t", data=DataConfig(),
+        model=ModelConfig(
+            model="futr_unsupervised_temp2", hidden_dim=32, n_head=4,
+            n_encoder_layers=1, n_decoder_layers=1, n_query=4, input_dim=16,
+            max_pos_len=64, compute_dtype="float32", dropout=0.0,
+            query_num=QUERY_NUM,
+        ),
+        train=TrainConfig(loop="unsupervised", l3_pad_idx=47,
+                          l3_exclude_idx=48),
+    )
+    trainer = Trainer(cfg, N_CLASS)
+    assert trainer.needs_query
+
+    rng = np.random.RandomState(5)
+    B, S, L0 = 2, 12, 7          # row 0 real length 7, row 1 full
+    feats = rng.randn(B, S, 16).astype(np.float32)
+    past = np.full((B, S), 1, np.int64)
+    past[0, L0:] = PAD_IDX       # row 0 padded past L0
+    q = rng.randint(0, QUERY_NUM - 1, (B, S)).astype(np.int64)
+
+    def run(pad_fill, with_mask=True):
+        f = feats.copy()
+        f[0, L0:] = pad_fill     # garbage only in row 0's padded positions
+        batch = {
+            "features": jnp.asarray(f), "past_label": jnp.asarray(past),
+            "query_label": jnp.asarray(q),
+        }
+        args = list(trainer._model_inputs(batch, with_mask=True))
+        if not with_mask:
+            args[2] = None       # the pre-fix binding: mask never arrives
+        variables = trainer.model.init(
+            jax.random.PRNGKey(0), *trainer._model_inputs(batch, with_mask=False),
+            train=True,
+        )
+        return trainer.model.apply(variables, *args, train=True,
+                                   rngs={"dropout": jax.random.PRNGKey(1)})
+
+    out_a, out_b = run(0.0), run(1e3)
+    # ROW 0's decoder outputs read its memory through the masked
+    # cross-attention — they must not see its own pad-row garbage.  (Row 1
+    # legitimately changes: the l3 self-attention runs ACROSS the batch per
+    # timestep with no mask, exactly as the reference's l3_attention —
+    # COMPAT #17 — so row 0's pad positions pollute row 1's l3 stream at
+    # those timesteps in both frameworks.)
+    for k in ("action", "duration"):
+        np.testing.assert_allclose(
+            np.array(out_a[k][0]), np.array(out_b[k][0]), atol=1e-5,
+            err_msg=k,
+        )
+    # negative control: with the mask dropped (the pre-fix binding), the
+    # garbage DOES reach row 0's decoder — the mask is load-bearing
+    out_c, out_d = run(0.0, with_mask=False), run(1e3, with_mask=False)
+    assert np.abs(
+        np.array(out_c["action"][0]) - np.array(out_d["action"][0])
+    ).max() > 1e-3
