@@ -90,9 +90,40 @@ class Predictor:
         # reference DataParallel's inference counterpart, main.py:115);
         # results are sharding-invariant (tests/test_sharding.py)
         self.mesh = mesh
+        # COMPAT #17: the self-attention-source unsupervised family attends
+        # ACROSS the batch, so sweep outputs depend on batch composition and
+        # the reference's per-video protocol needs eval_batch=1
+        # (MIGRATION.md).  Guard it structurally instead of per-config:
+        # warn when a caller batches such a model, and never round its
+        # eval_batch up to the dp extent — the zero filler rows
+        # _forward_batch pads in would feed the cross-batch l3 attention.
+        self._batch_attending = bool(
+            getattr(model, "query_source", None) == "self_attention"
+            and getattr(model, "attend_over_batch", True)
+        )
+        self._replicate_batches = False
+        if self._batch_attending and eval_batch != 1:
+            import warnings
+
+            warnings.warn(
+                f"model {config.model.model!r} attends across the batch "
+                f"(COMPAT #17): eval_batch={eval_batch} makes the sweep "
+                "batch-composition-dependent; the reference protocol is "
+                "per-video (eval_batch=1)."
+            )
         if mesh is not None:
             dp = mesh.shape.get("dp", 1)
-            self.eval_batch = -(-eval_batch // dp) * dp
+            rounded = -(-eval_batch // dp) * dp
+            if rounded != eval_batch and self._batch_attending:
+                # refuse the silent round-up: keep the faithful batch size
+                # and run the sweep replicated over the mesh instead of
+                # dp-sharded (numerically identical to no mesh at all)
+                self._replicate_batches = True
+            else:
+                # numerically exact for every other model: filler rows are
+                # fully masked and their outputs discarded (padding
+                # exactness tests)
+                self.eval_batch = rounded
         # query-conditioned family (reference predict_with_query/predict.py:74:
         # model(inputs, query, mode='test'))
         from r3d_tpu.models import model_needs_query
@@ -232,9 +263,10 @@ class Predictor:
         if query_len is not None:
             args.append(jnp.asarray(query_len))
         if self.mesh is not None:
-            from r3d_tpu.parallel.mesh import batch_sharding
+            from r3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
-            sh = batch_sharding(self.mesh)
+            sh = (replicated_sharding(self.mesh) if self._replicate_batches
+                  else batch_sharding(self.mesh))
             args = [None if a is None else jax.device_put(a, sh) for a in args]
         if isinstance(variables, (list, tuple)):
             # seed-ensemble: average the output heads (logits/durations)
@@ -262,9 +294,10 @@ class Predictor:
             vid[i] = it["ui"]
             real_s[i] = it["real_s"]
         if self.mesh is not None:
-            from r3d_tpu.parallel.mesh import batch_sharding
+            from r3d_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
-            sh = batch_sharding(self.mesh)
+            sh = (replicated_sharding(self.mesh) if self._replicate_batches
+                  else batch_sharding(self.mesh))
             vid = jax.device_put(jnp.asarray(vid), sh)
             real_s = jax.device_put(jnp.asarray(real_s), sh)
         if isinstance(variables, (list, tuple)):

@@ -481,3 +481,93 @@ def test_cli_train_automesh(tmp_path):
     }
     assert any("mesh" in str(l) for l in logs)
     assert np.isfinite(float(jnp.sum(jax.tree.leaves(state.params)[0])))
+
+
+def test_batch_attending_predict_keeps_eval_batch_on_mesh(mesh8, tmp_path):
+    """ADVICE r4 (medium): a batch-ATTENDING model (COMPAT #17 —
+    futr_unsupervised's l3 attention mixes rows, so outputs depend on batch
+    composition) must NOT have eval_batch=1 silently rounded up to the dp
+    extent on a mesh: filler rows would feed the cross-batch attention.  The
+    sweep instead runs replicated over the mesh and equals the no-mesh
+    per-video protocol exactly.  Also pins the structural eval_batch>1
+    warning (ADVICE low #3)."""
+    import dataclasses
+    import os
+    import warnings
+
+    from r3d_tpu.config import CONFIGS, ModelConfig, TrainConfig
+    from r3d_tpu.data.datasets import build_source
+    from r3d_tpu.eval.predict import Predictor
+    from r3d_tpu.models import build_model
+    from r3d_tpu.parallel.mesh import set_active_mesh
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "utkinect"
+    for d in ["features_img", "groundTruth", "splits"]:
+        os.makedirs(root / d, exist_ok=True)
+    acts = [f"a{i}" for i in range(4)]
+    (root / "mapping_l2_changed.txt").write_text(
+        "".join(f"{i} {a}\n" for i, a in enumerate(acts)))
+    (root / "mapping_l3.txt").write_text("0 q0\n1 q1\n2 q2\n")
+    vids = []
+    for v in range(5):
+        L = int(rng.randint(40, 60))
+        labels = [acts[int(x)] for x in (np.arange(L) // 7) % 4]
+        np.save(root / "features_img" / f"v{v}.npy",
+                rng.randn(L, 12).astype(np.float32))
+        with open(root / "groundTruth" / f"v{v}.txt", "w") as f:
+            for t, l in enumerate(labels):
+                f.write(f"img{t},{l},q{t % 3}\n")
+        vids.append(f"v{v}.txt")
+    (root / "splits" / "train_split.txt").write_text("\n".join(vids) + "\n")
+
+    base = CONFIGS["utkinects"]
+    cfg = base.replace(
+        data=dataclasses.replace(
+            base.data, data_root=str(tmp_path), seq_buckets=(64,),
+            depth_features_dir=None, query_mapping_file="mapping_l3.txt",
+            train_obs_percs=(0.3, 0.5)),
+        model=ModelConfig(
+            model="futr_unsupervised", hidden_dim=32, n_head=4,
+            n_encoder_layers=1, n_decoder_layers=1, n_query=8, input_dim=12,
+            max_pos_len=64, compute_dtype="float32", query_num=3,
+        ),
+        train=TrainConfig(loop="unsupervised", min_train_batch=0),
+    )
+    source = build_source(cfg.data, "train_split.txt")
+    model = build_model(cfg.model, source.n_class)
+    v = source.load_video(source.vid_list[0])
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(v["features"][None], jnp.float32),
+        jnp.asarray(v["query_idx"][None]),
+        None, train=False,
+    )
+
+    set_active_mesh(None)
+    single = Predictor(cfg, model, source.n_class, eval_batch=1)
+    assert single._batch_attending and single.eval_batch == 1
+    res_single = single.predict(variables, source, 0.3, log=lambda *a: None)
+
+    meshed = Predictor(cfg, model, source.n_class, eval_batch=1, mesh=mesh8)
+    assert meshed.eval_batch == 1, "eval_batch must not round up to dp"
+    assert meshed._replicate_batches
+    res_mesh = meshed.predict(variables, source, 0.3, log=lambda *a: None)
+    set_active_mesh(None)
+    assert set(res_single) == set(res_mesh)
+    for k in res_single:
+        np.testing.assert_allclose(res_mesh[k], res_single[k], atol=1e-6,
+                                   err_msg=k)
+
+    # the structural guard: batching a batch-attending model warns
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Predictor(cfg, model, source.n_class, eval_batch=4)
+    assert any("COMPAT #17" in str(x.message) for x in w)
+
+    # non-attending models keep the exact round-up behavior
+    cfg_gt = cfg.replace(model=dataclasses.replace(cfg.model, model="futr_proposed"))
+    model_gt = build_model(cfg_gt.model, source.n_class)
+    p_gt = Predictor(cfg_gt, model_gt, source.n_class, eval_batch=1, mesh=mesh8)
+    set_active_mesh(None)
+    assert p_gt.eval_batch == mesh8.shape["dp"] and not p_gt._replicate_batches
