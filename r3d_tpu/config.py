@@ -305,6 +305,11 @@ class EvalConfig:
     # 'unweighted' — plain accuracy, per-video mean (predict_breakfast.py:36)
     # 'micro'      — correct/total counts pooled over all videos
     #                (predict_50salads.py:66-96, 198-232)
+    # 'unweighted_excl' — plain accuracy where gt==exclude_class_idx frames
+    #                are skipped from the NUMERATOR only while the
+    #                denominator keeps the full compare length
+    #                (predict_tcn_darai.py:146-155 — the one live exclusion
+    #                among the normal-accuracy variants; COMPAT #41)
     ant_acc_mode: str = "weighted"
     # gt class dropped from the ant-accuracy count — the EVAL-side id the
     # live predict passes (16 predict_utkinects.py:328 / make_gif.py:370,

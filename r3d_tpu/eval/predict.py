@@ -391,7 +391,13 @@ class Predictor:
             )
         else:
             nn_ = min(len(future_sub), len(pred_actions))
-            correct = int(np.sum(pred_actions[:nn_] == future_sub[:nn_]))
+            ok = pred_actions[:nn_] == future_sub[:nn_]
+            if (mode == "unweighted_excl"
+                    and cfg.eval.exclude_class_idx is not None):
+                # predict_tcn_darai.py:146-155: gt==exclude skipped from the
+                # numerator only; the denominator keeps the full length
+                ok = ok & (future_sub[:nn_] != cfg.eval.exclude_class_idx)
+            correct = int(np.sum(ok))
             if mode == "micro":
                 # predict_50salads.py:198-232: counts pool over all videos
                 stats["ant_correct"] += correct
