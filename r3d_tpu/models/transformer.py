@@ -144,6 +144,23 @@ class TransformerDecoder(nn.Module):
             lambda *xs: jnp.stack(xs),
             *[params[f"layer{i}"] for i in range(self.n_layers)],
         )
+        # Pin the stack's sharding explicitly: [L, ...] over 'pp' with each
+        # layer's own TP spec on the trailing axes.  Without this GSPMD
+        # propagates an arbitrary sharding onto the stack concatenate and
+        # then replicate-and-repartitions it to P('pp') every step — the
+        # "Involuntary full rematerialization" warnings in the r4 dryrun
+        # log (VERDICT r4 weak #4).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from r3d_tpu.parallel.mesh import param_shardings
+
+        layer_sh = param_shardings(mesh, params["layer0"])
+        stacked = jax.tree.map(
+            lambda x, s: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, PartitionSpec("pp", *s.spec))
+            ),
+            stacked, layer_sh,
+        )
         B = tgt.shape[0]
         Bm = B // M
         mb = lambda x: x.reshape((M, Bm) + x.shape[1:])

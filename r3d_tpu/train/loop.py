@@ -558,6 +558,15 @@ class Trainer:
                 lambda *xs: jnp.stack(xs),
                 *[dec[f"layer{i}"] for i in range(L)],
             )
+            # pin the stack to P('pp') so GSPMD doesn't replicate-and-
+            # repartition the concatenate every step (tp/sp/ep are guarded
+            # to 1 on this path, so trailing axes replicate)
+            from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+            pp_sh = NamedSharding(mesh, PSpec("pp"))
+            stacked = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, pp_sh), stacked
+            )
             last_p = {"norm": dec["norm"], "heads": params["heads"]}
 
             loss_sum, metric_sums, g_stacked, g_last, _d_inject, d_cdiff = (

@@ -238,3 +238,210 @@ def test_training_trajectory_matches_reference():
         state = state.apply_gradients(grads, tx, new_batch_stats=new_bs)
 
     np.testing.assert_allclose(our_losses, torch_losses, rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Fuser-ablation gradient parity (VERDICT r4 weak #6): the closed-form
+# two-token swap's BACKWARD under each exchange rule vs torch autograd.
+# A fixed random cotangent w turns d(sum(out*w))/d(inputs, params) into a
+# full Jacobian-vector parity check without coupling to any loss function
+# (the loss fns have their own oracles).
+# ---------------------------------------------------------------------------
+
+FUSER_C, FUSER_HEADS, FUSER_B, FUSER_T = 32, 4, 3, 10
+
+
+def _fuser_grad_case(variant):
+    """(ref_module, ref_call(rgb_t, depth_t) -> out, ours, params) per
+    exchange rule, in TRAIN mode (the exchange rules' live branch)."""
+    from r3d_tpu.models.fuser import (
+        CMFuserGrad, CMFuserNoExchange, CMFuserVary,
+    )
+
+    def safuser_params(ref_fuser):
+        return {
+            "block0": torch_ref.fuser_block_params(ref_fuser.blocks[0]),
+            "norm_scale": torch_ref.t2n(ref_fuser.norm.weight),
+            "norm_bias": torch_ref.t2n(ref_fuser.norm.bias),
+        }
+
+    torch.manual_seed(4)
+    if variant == "grad":
+        from model.futr_safuser_tokenfusion import CMFuser as Ref
+
+        ref = Ref(dim=FUSER_C, depth=1, num_heads=FUSER_HEADS)
+        ref.train()
+        torch_ref.zero_dropout(ref)
+        # mode='test' ranking: the train-mode probe is vacuous and torch's
+        # topk tie-break over the all-equal scores is implementation-defined
+        # (COMPAT #2) — activation ranking is the well-defined branch, and
+        # the hard-swap/residual BACKWARD under test is the same code path
+        call = lambda r, d: ref({"rgb": r, "depth": d}, "test")
+        ours = CMFuserGrad(FUSER_C, depth=1, n_head=FUSER_HEADS, drop_rate=0.0)
+        params = {"safuser": safuser_params(ref)}
+    elif variant == "vary":
+        from model.futr_safuser_tokenfusion_vary import CMFuser as Ref
+
+        ref = Ref(dim=FUSER_C, depth=1, num_heads=FUSER_HEADS)
+        with torch.no_grad():
+            ref.alpha.copy_(torch.randn(1, 1, FUSER_C))
+        ref.train()
+        torch_ref.zero_dropout(ref)
+        call = lambda r, d: ref({"rgb": r, "depth": d}, "train")
+        ours = CMFuserVary(FUSER_C, depth=1, n_head=FUSER_HEADS, drop_rate=0.0)
+        params = {"alpha": torch_ref.t2n(ref.alpha),
+                  "safuser": safuser_params(ref)}
+    else:  # no-exchange (futr_safuser_depth.py / afft.py)
+        from model.futr_safuser_depth import CMFuser as Ref
+
+        ref = Ref(dim=FUSER_C, depth=1, num_heads=FUSER_HEADS)
+        ref.train()
+        torch_ref.zero_dropout(ref)
+        call = lambda r, d: ref({"rgb": r, "depth": d})[0]
+        ours = CMFuserNoExchange(
+            FUSER_C, depth=1, n_head=FUSER_HEADS, drop_rate=0.0
+        )
+        params = {"modality_token": torch_ref.t2n(ref.modality_token),
+                  "safuser": safuser_params(ref)}
+    return ref, call, ours, jax.tree.map(jnp.asarray, params)
+
+
+@pytest.mark.parametrize("variant", ["grad", "vary", "nox"])
+def test_fuser_ablation_gradients_match(variant):
+    ref, call, ours, params = _fuser_grad_case(variant)
+    rng = np.random.RandomState(17)
+    rgb = rng.randn(FUSER_B, FUSER_T, FUSER_C).astype(np.float32)
+    depth = rng.randn(FUSER_B, FUSER_T, FUSER_C).astype(np.float32)
+    w = rng.randn(FUSER_B, FUSER_T, FUSER_C).astype(np.float32)
+
+    # ---- torch ----
+    tr = torch.tensor(rgb, requires_grad=True)
+    td = torch.tensor(depth, requires_grad=True)
+    out_ref = call(tr, td)
+    (out_ref * torch.tensor(w)).sum().backward()
+
+    # ---- ours ----
+    def loss_fn(p, r, d):
+        # train=False matches the ranking branch chosen in _fuser_grad_case
+        # for the 'grad' variant (COMPAT #2); for vary/nox the branches
+        # coincide (activation ranking / no ranking). Dropout is 0 in both
+        # modes, so the differentiated computation is the live train math.
+        out = ours.apply(
+            {"params": p}, r, d, train=(variant != "grad"),
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        return jnp.sum(out * jnp.array(w))
+
+    grads, g_rgb, g_depth = jax.grad(loss_fn, argnums=(0, 1, 2))(
+        params, jnp.array(rgb), jnp.array(depth)
+    )
+
+    def close(a, b, name):
+        scale = max(float(np.abs(b).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.array(a), b, atol=3e-5 * scale + 1e-8, rtol=2e-3,
+            err_msg=f"{variant}: gradient mismatch: {name}",
+        )
+
+    # input gradients pin the exchange rule's backward routing (swapped
+    # channels must send their cotangent to the OTHER modality)
+    close(g_rgb, tr.grad.numpy(), "d/d rgb")
+    close(g_depth, td.grad.numpy(), "d/d depth")
+    blk = ref.blocks[0]
+    close(grads["safuser"]["block0"]["qkv_kernel"],
+          torch_ref.t2n(blk.attn.qkv.weight.grad).T, "qkv kernel")
+    close(grads["safuser"]["norm_scale"],
+          torch_ref.t2n(ref.norm.weight.grad), "norm scale")
+    if variant == "vary":
+        close(grads["alpha"], torch_ref.t2n(ref.alpha.grad), "alpha")
+    if variant == "nox":
+        close(grads["modality_token"],
+              torch_ref.t2n(ref.modality_token.grad), "modality token")
+
+
+def test_futr_proposed_gradients_match():
+    """gt-query model (futr_proposed.py) backward parity: d(sum(out*w)) over
+    every emitted head w.r.t. params, torch autograd vs jax.grad on copied
+    weights — covers the query-embedding path and the decoder-output pooling
+    none of the composed trajectory tests reach at gradient level."""
+    from r3d_tpu.config import ModelConfig
+    from r3d_tpu.models.futr_unsupervised import FUTRUnsupervised
+
+    HID, NQ, IN_DIM, QN = 32, 8, 16, 7
+    cfg = ModelConfig(
+        model="futr_proposed", hidden_dim=HID, n_head=4, n_encoder_layers=1,
+        n_decoder_layers=1, n_query=NQ, input_dim=IN_DIM, max_pos_len=128,
+        compute_dtype="float32", query_num=QN, seg_excludes_none=True,
+        dropout=0.0,
+    )
+    from model.futr_proposed import FUTR as RefProposed
+
+    args = torch_ref.RefArgs(input_dim=IN_DIM, max_pos_len=128)
+    torch.manual_seed(9)
+    ref = RefProposed(
+        N_CLASS, HID, PAD_IDX, torch.device("cpu"), args, n_query=NQ,
+        n_head=4, num_encoder_layers=1, num_decoder_layers=1, query_num=QN,
+    )
+    ref.train()
+    torch_ref.zero_dropout(ref)
+
+    rng = np.random.RandomState(23)
+    B, S = 4, 20
+    # pad-free rows: the reference trains with tgt_key_padding_mask=None
+    # (futr_proposed.py:78), so its padded-batch decoder consumes collate
+    # padding (the COMPAT #40 class of quirk); our mask-aware form equals
+    # it exactly on equal-length batches — the composed chains' regime
+    x = rng.randn(B, S, IN_DIM).astype(np.float32)
+    labels = rng.randint(0, N_CLASS - 1, size=(B, S)).astype(np.float32)
+    query = rng.randint(0, QN - 1, size=(B, S)).astype(np.float32)
+
+    tx = torch.tensor(x)
+    tl = torch.tensor(labels)
+    tq = torch.tensor(query)
+    out_ref = ref((tx, tl), tq, mode="train")
+    keys = sorted(k for k, v in out_ref.items() if torch.is_tensor(v))
+    ws = {k: rng.randn(*out_ref[k].shape).astype(np.float32) for k in keys}
+    sum(
+        (out_ref[k] * torch.tensor(ws[k])).sum() for k in keys
+    ).backward()
+
+    ours = FUTRUnsupervised(cfg, N_CLASS, query_source="gt")
+    init = ours.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, IN_DIM), jnp.float32),
+        jnp.zeros((1, 8), jnp.int32), train=False,
+    )["params"]
+    conv = jax.tree.map(jnp.asarray, torch_ref.proposed_params(ref))
+    # our model carries an fc_l3 head the futr_proposed reference lacks
+    # (torch_ref.proposed_params docstring) — merge over init and restrict
+    # the functional to the reference's emitted heads
+    params = {**dict(init), **conv}
+
+    def loss_fn(p):
+        out = ours.apply(
+            {"params": p}, jnp.array(x),
+            jnp.array(query).astype(jnp.int32),
+            jnp.array(labels) == PAD_IDX, train=True,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        assert set(keys) <= set(out), (sorted(out), keys)
+        return sum(jnp.sum(out[k] * jnp.array(ws[k])) for k in keys)
+
+    grads = jax.grad(loss_fn)(params)
+
+    def close(a, b, name):
+        scale = max(float(np.abs(b).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.array(a), b, atol=3e-5 * scale + 1e-8, rtol=2e-3,
+            err_msg=f"futr_proposed gradient mismatch: {name}",
+        )
+
+    close(grads["embed"]["input_embed"]["kernel"],
+          torch_ref.t2n(ref.input_embed.weight.grad).T, "input_embed kernel")
+    close(grads["query_embed"]["embedding"],
+          torch_ref.t2n(ref.query_embed.weight.grad), "query_embed")
+    close(grads["heads"]["fc"]["kernel"],
+          torch_ref.t2n(ref.fc.weight.grad).T, "fc kernel")
+    close(grads["heads"]["fc_len"]["kernel"],
+          torch_ref.t2n(ref.fc_len.weight.grad).T, "fc_len kernel")
+    close(grads["pos_embedding"],
+          torch_ref.t2n(ref.pos_embedding.grad), "pos_embedding")
