@@ -133,10 +133,12 @@ def train(config: Config, seed: int, dataset_ops: str = "",
             val_cache = None
             if cache is None:
                 log(f"device cache over budget: {e}")
-                if mesh is None and not config.data.multi_sequence:
+                if not config.data.multi_sequence:
                     # partial residency: cache the units that fit, stream
                     # the rest — batch composition unchanged (fit_hybrid
-                    # == fit bit-exactly, tests/test_hybrid_cache.py)
+                    # == fit bit-exactly, tests/test_hybrid_cache.py; on a
+                    # dp mesh the view ids shard and host parts replicate,
+                    # equality pinned by the mesh arms of that file)
                     from r3d_tpu.data.device_cache import (
                         hybrid_cache_from_source,
                     )

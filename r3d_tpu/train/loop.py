@@ -415,10 +415,17 @@ class Trainer:
         Semantics = ``make_accum_step`` over M microbatches (mean of
         per-microbatch losses/grads; the integration test uses it as the
         oracle); batch consumption = ONE loader batch, so state.step
-        advances by 1 like the plain step.  Supported: the futr family
-        (pre = input embed + pos/query tables, stages = decoder layers,
-        last = final norm + heads + loss) on dp x pp meshes.  Anything else
-        raises — a requested schedule must never silently degrade."""
+        advances by 1 like the plain step.  Supported: the futr family AND
+        the fusion family (pre = input embed [+ depth embed + fuser],
+        stages = decoder layers, last = final norm + heads + loss) on
+        dp x pp meshes.  For the fusion models the fuser runs in the pre
+        stage as a ``lax.scan`` over the M microbatches with the BN
+        batch_stats as carry — per-microbatch train-mode statistics and the
+        sequential running-stat trajectory both match ``make_accum_step``
+        exactly (the VERDICT r4 weak #5 blocker: BN stats never need to
+        cross pipeline stages, because no BatchNorm lives in the decoder —
+        only the pre).  Anything else raises — a requested schedule must
+        never silently degrade."""
         import flax.linen as fnn
 
         from r3d_tpu.models.futr import Heads, InputEmbed
@@ -439,10 +446,13 @@ class Trainer:
                 "Use pp_schedule='gpipe' (the default) for this config."
             )
 
-        if cfg.model != "futr":
-            bail(f"model {cfg.model!r} (only 'futr' has the pre/stage/last "
-                 "split; fusion models mutate BN stats inside the pre)")
-        if self.config.train.loop not in ("futr", "proposed"):
+        fusion = self.is_fusion and cfg.model != "afft"
+        if cfg.model != "futr" and not fusion:
+            bail(f"model {cfg.model!r} (only the futr/fusion families have "
+                 "the pre/stage/last split; afft has no decoder stack to "
+                 "pipeline, the query family reads pre-decoder streams)")
+        if self.config.train.loop not in ("futr", "proposed",
+                                          "proposed_depth"):
             bail(f"loop {self.config.train.loop!r} (losses must live "
                  "entirely in the last stage; the unsupervised composite "
                  "reads pre-decoder streams)")
@@ -477,6 +487,30 @@ class Trainer:
         # sticky-eval epochs (COMPAT #37) train with dropout off; futr has
         # no BatchNorm, so the frozen twin is just the deterministic forward
         use_dropout = (cfg.dropout > 0.0) and not frozen
+        depth_mod = fuser_mod = None
+        use_fuser_dropout = False
+        if fusion:
+            import dataclasses
+
+            from r3d_tpu.models.futr_fusion import FUSERS, DepthEmbed
+
+            # frozen twin (sticky-eval epochs): running-stat BN + dropout 0,
+            # mirroring Trainer._model_for
+            fcfg = (
+                dataclasses.replace(cfg, fuser_dropout=0.0, frozen_stats=True)
+                if frozen else cfg
+            )
+            depth_mod = DepthEmbed(fcfg)
+            fuser_kw = dict(
+                depth=fcfg.fuser_depth, n_head=fcfg.fuser_heads,
+                two_token_exact=True, drop_rate=fcfg.fuser_dropout,
+                use_pallas=fcfg.use_pallas, dtype=dtype,
+            )
+            if fcfg.model == "futr_fusion_bn":
+                fuser_kw["exchange_frac"] = fcfg.fuser_exchange_frac
+                fuser_kw["frozen"] = fcfg.frozen_stats
+            fuser_mod = FUSERS[fcfg.model](fcfg.hidden_dim, **fuser_kw)
+            use_fuser_dropout = (fcfg.fuser_dropout > 0.0) and not frozen
         Bm = B // M
 
         def mb(x):
@@ -506,6 +540,11 @@ class Trainer:
             outputs = heads_mod.apply(
                 {"params": last_p["heads"]}, hs, cd["memory"]
             )
+            if fusion:
+                # memory IS the fused stream (futr_fusion.py:121-134) — the
+                # erank regularizer/metric reads it per microbatch, exactly
+                # as make_accum_step's per-microbatch forward does
+                outputs["fused"] = cd["memory"].astype(jnp.float32)
             batch_m = {
                 "past_label": ca["past_label"],
                 "trans_future_target": ca["target"],
@@ -524,11 +563,54 @@ class Trainer:
             mask = batch["past_label"] == self.pad_idx
             step_rng = jax.random.fold_in(rng, state.step)
 
-            pre_keys = ("embed", "pos_embedding", "query_embed")
+            pre_keys = (
+                ("embed", "depth_embed", "fuser", "pos_embedding",
+                 "query_embed")
+                if fusion else ("embed", "pos_embedding", "query_embed")
+            )
             pre_params = {k: params[k] for k in pre_keys}
+            bs0 = dict(state.batch_stats).get("fuser", {}) if fusion else {}
+            has_stats = bool(jax.tree.leaves(bs0))
+            fuser_key = jax.random.fold_in(step_rng, 997)
 
             def pre(p):
                 src = embed_mod.apply({"params": p["embed"]}, feats)
+                if not fusion:
+                    # memory = src (encoder bypass)
+                    new_bs = bs0
+                    memory = src
+                else:
+                    dep = depth_mod.apply(
+                        {"params": p["depth_embed"]}, batch["depth_features"]
+                    )
+
+                    def fuse_one(bs, xs):
+                        s_m, d_m, mi = xs
+                        rngs = (
+                            {"dropout": jax.random.fold_in(fuser_key, mi)}
+                            if use_fuser_dropout else None
+                        )
+                        if has_stats and not frozen:
+                            fused_m, mut = fuser_mod.apply(
+                                {"params": p["fuser"], "batch_stats": bs},
+                                s_m, d_m, train=True,
+                                mutable=["batch_stats"], rngs=rngs,
+                            )
+                            return mut["batch_stats"], fused_m
+                        fused_m = fuser_mod.apply(
+                            {"params": p["fuser"], "batch_stats": bs},
+                            s_m, d_m, train=True, rngs=rngs,
+                        )
+                        return bs, fused_m
+
+                    # per-microbatch fuser with the BN stats as scan carry:
+                    # train-mode statistics AND the sequential running-stat
+                    # trajectory both equal make_accum_step's (the oracle)
+                    new_bs, fused_M = jax.lax.scan(
+                        fuse_one, bs0,
+                        (mb(src), mb(dep), jnp.arange(M)),
+                    )
+                    memory = fused_M.reshape((B,) + fused_M.shape[2:])
                 pos = jnp.broadcast_to(
                     p["pos_embedding"][:, :S].astype(src.dtype), (B, S, C)
                 )
@@ -536,9 +618,11 @@ class Trainer:
                     p["query_embed"][None].astype(src.dtype),
                     (B, cfg.n_query, C),
                 )
-                return src, pos, query_pos  # memory = src (encoder bypass)
+                return (memory, pos, query_pos), new_bs
 
-            (memory, pos, query_pos), pre_vjp = jax.vjp(pre, pre_params)
+            (memory, pos, query_pos), pre_vjp, new_fuser_bs = jax.vjp(
+                pre, pre_params, has_aux=True
+            )
 
             inject = jnp.zeros((M, Bm, cfg.n_query, C), dtype)
             cdiff = {
@@ -599,8 +683,13 @@ class Trainer:
             grads = jax.tree.map(lambda g: (g / M).astype(jnp.float32),
                                  grads)
             metrics = jax.tree.map(lambda s: s / M, metric_sums)
+            new_stats = (
+                {**dict(state.batch_stats), "fuser": new_fuser_bs}
+                if (fusion and has_stats and not frozen)
+                else state.batch_stats
+            )
             state = state.apply_gradients(
-                grads, self.tx, new_batch_stats=state.batch_stats
+                grads, self.tx, new_batch_stats=new_stats
             )
             return state, metrics
 
@@ -1249,8 +1338,11 @@ class Trainer:
         (tests/test_hybrid_cache.py).  Per batch the host ships only the
         compacted host rows (count padded to the next power of two to bound
         compile shapes) plus two small int32 vectors.  steps_per_dispatch
-        does not apply (batches differ in host-row count); single-device
-        (the mesh path keeps the full cache or the host loader)."""
+        does not apply (batches differ in host-row count).  On a dp mesh
+        the dataset and the compacted host parts replicate while the [B]
+        view-id vector shards over dp — the host-row scatter writes into
+        the dp-sharded assembled batch under GSPMD
+        (tests/test_hybrid_cache.py mesh arms)."""
         from r3d_tpu.data.device_cache import epoch_plan, hybrid_epoch_plan
         from r3d_tpu.data.pipeline import bucket_length, pad_batch
 
@@ -1268,10 +1360,23 @@ class Trainer:
         rng = jax.random.fold_in(self._base_key(seed), start_epoch)
         data = cache.data
         cached_id = hybrid.view_cached_id
+        vid_sharding = rep_sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep_sharding = NamedSharding(self.mesh, P())
+            data = jax.tree.map(
+                lambda x: jax.device_put(x, rep_sharding), data
+            )
+            vid_sharding = NamedSharding(self.mesh, P("dp"))
         cached_eval = val_data = None
         if val_cache is not None:
             cached_eval = self.make_cached_eval_fn(val_cache)
             val_data = val_cache.data
+            if rep_sharding is not None:
+                val_data = jax.tree.map(
+                    lambda x: jax.device_put(x, rep_sharding), val_data
+                )
 
         def validate(st):
             if cached_eval is None:
@@ -1344,9 +1449,23 @@ class Trainer:
                 else:
                     part = {}
                     pos = np.zeros((0,), np.int32)
+                vids = jnp.asarray(view_ids)
+                posj = jnp.asarray(pos)
+                partj = jax.tree.map(jnp.asarray, part)
+                if (
+                    vid_sharding is not None
+                    and len(view_ids) % self.mesh.shape["dp"] == 0
+                ):
+                    # view ids shard over dp; the compacted host rows and
+                    # their scatter positions replicate (they target
+                    # arbitrary batch positions across shards)
+                    vids = jax.device_put(vids, vid_sharding)
+                    posj = jax.device_put(posj, rep_sharding)
+                    partj = jax.tree.map(
+                        lambda x: jax.device_put(x, rep_sharding), partj
+                    )
                 state, metrics = step_fn(
-                    state, data, jnp.asarray(view_ids), jnp.asarray(pos),
-                    jax.tree.map(jnp.asarray, part), int(S), epoch_rng, epoch,
+                    state, data, vids, posj, partj, int(S), epoch_rng, epoch,
                 )
                 n_batches += 1
                 n_clips += len(chunk)

@@ -177,3 +177,59 @@ def test_fit_hybrid_equals_fit(disk_tree, split):
     # identical log lines up to wall-clock throughput
     strip = lambda ls: [l.split(" (")[0] for l in ls]
     assert strip(logs["host"]) == strip(logs["hybrid"])
+
+
+@pytest.mark.parametrize("fsdp", [False, True])
+def test_fit_hybrid_on_mesh_matches_single_device(disk_tree, fsdp):
+    """VERDICT r4 weak #8: the compacted-host-row scatter was the one cache
+    path never run sharded.  fit_hybrid on the fake 8-device mesh (dp4xtp2;
+    fsdp arm shards state over dp too) must reproduce the single-device
+    fit_hybrid trajectory — view ids shard over dp, the host parts
+    replicate, and remainder chunks (n_views % 4 != 0 here) take the
+    replicated fallback."""
+    from r3d_tpu.parallel.mesh import make_mesh, set_active_mesh, shard_state
+    from r3d_tpu.train.loop import Trainer
+
+    cfg = make_cfg(disk_tree)
+    src = build_source(cfg.data, "train_split.txt")
+    val_src = build_source(cfg.data, "val_split.txt")
+    budget = full_budget(src, cfg.data) // 2
+    h = hybrid_cache_from_source(src, cfg.data, NQ, max_bytes=budget,
+                                 policy="longest")
+    assert 0 < h.host_frac < 1
+
+    def val_loader():
+        return build_loader(val_src, cfg.data, 4, NQ, mode="val",
+                            shuffle=False)
+
+    vl = val_loader()
+    example = next(iter(vl))
+    logs = {"single": [], "mesh": []}
+    cap = lambda tag: lambda *a: logs[tag].append(" ".join(map(str, a)))
+
+    set_active_mesh(None)
+    t1 = Trainer(cfg, src.n_class)
+    s1 = t1.init_state(jax.random.PRNGKey(7), example, 2)
+    params_init = jax.tree.map(jnp.array, s1.params)
+    s1 = t1.fit_hybrid(s1, h, vl, seed=1, log=cap("single"))
+
+    mesh = make_mesh(dp=4, tp=2)
+    t2 = Trainer(cfg, src.n_class, mesh=mesh)
+    s2 = t2.init_state(jax.random.PRNGKey(7), example, 2)
+    s2 = s2.replace(params=jax.tree.map(jnp.array, params_init))
+    if fsdp:
+        s2 = shard_state(s2, mesh, fsdp=True)
+    s2 = t2.fit_hybrid(s2, h, val_loader(), seed=1, log=cap("mesh"))
+    set_active_mesh(None)
+
+    # the printed per-epoch loss/acc lines pin the trajectory at log
+    # precision; the params bound is looser than the one-step sharded
+    # tests' 5e-4 because cross-device reduction reorder accumulates over
+    # the full 2-epoch fit
+    strip = lambda ls: [l.split(" (")[0] for l in ls]
+    assert strip(logs["single"]) == strip(logs["mesh"])
+    diff = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(s1.params), jax.device_get(s2.params),
+    )
+    assert max(jax.tree.leaves(diff)) < 2e-3, diff

@@ -273,7 +273,8 @@ def test_1f1b_unsupported_configs_fail_loudly():
     set_active_mesh(mesh)
     try:
         for breakage, err in [
-            (dict(model="futr_fusion_bn"), "model"),
+            (dict(model="afft"), "model"),  # no decoder stack to pipeline
+            (dict(model="futr_unsupervised", query_num=5), "model"),
             (dict(), "loop"),   # paired with loop override below
         ]:
             cfg = _futr_cfg(dp=2, pp=4)
@@ -282,7 +283,7 @@ def test_1f1b_unsupported_configs_fail_loudly():
             )
             if err == "loop":
                 cfg = cfg.replace(
-                    train=dataclasses.replace(cfg.train, loop="proposed_depth")
+                    train=dataclasses.replace(cfg.train, loop="unsupervised")
                 )
             t = Trainer(cfg, 7, mesh=mesh)
             with pytest.raises(ValueError, match="1f1b"):
@@ -293,3 +294,102 @@ def test_1f1b_unsupported_configs_fail_loudly():
             Trainer(cfg, 7, mesh=mesh).make_train_step()
     finally:
         set_active_mesh(None)
+
+
+def _fusion_cfg(pp_schedule="1f1b", n_layers=4, **mesh_kw):
+    import dataclasses
+
+    from r3d_tpu.config import get_config, MeshConfig, ModelConfig, TrainConfig
+
+    cfg = get_config("synthetic")
+    return cfg.replace(
+        model=ModelConfig(
+            model="futr_fusion_bn", hidden_dim=16, n_head=2,
+            n_encoder_layers=1, n_decoder_layers=n_layers, n_query=6,
+            input_dim=12, max_pos_len=64, compute_dtype="float32",
+            dropout=0.0, fuser_dropout=0.0, fuser_heads=2, log_erank=False,
+        ),
+        train=TrainConfig(loop="proposed_depth", batch_size=8,
+                          min_train_batch=0, exclude_class_idx=None,
+                          weighted_ce=True),
+        mesh=MeshConfig(pp_schedule=pp_schedule, **mesh_kw),
+    )
+
+
+def _fusion_batch(B=8, S=24, in_dim=12, n_class=7, nq=6, seed=0):
+    b = _futr_batch(B, S, in_dim, n_class, nq, seed)
+    rng = np.random.RandomState(seed + 50)
+    b["depth_features"] = rng.randn(B, S, 4, 3).astype(np.float32)
+    return b
+
+
+@pytest.mark.parametrize("dp,pp,M,frozen", [
+    (1, 4, 4, False), (2, 2, 4, False), (2, 2, 4, True),
+])
+def test_1f1b_fusion_step_matches_grad_accum(dp, pp, M, frozen):
+    """VERDICT r4 weak #5: the flagship BN-fusion family on the 1F1B
+    schedule.  The fuser (and its BatchNorm) runs in the PRE stage as a
+    per-microbatch scan with the batch_stats as carry, so the update AND
+    the BN running-stat trajectory must equal make_accum_step over the
+    same M microbatches.  The frozen arm is the sticky-eval twin
+    (running-stat BN, COMPAT #37)."""
+    from r3d_tpu.parallel.mesh import set_active_mesh
+    from r3d_tpu.train.loop import Trainer
+
+    n_class = 7
+    cfg = _fusion_cfg(dp=dp, pp=pp, pp_microbatches=M)
+    batch = _fusion_batch(n_class=n_class)
+
+    t_ref = Trainer(cfg.replace(mesh=cfg.mesh.__class__()), n_class)
+    state0 = t_ref.init_state(jax.random.PRNGKey(3), batch, steps_per_epoch=4)
+    host0 = jax.device_get(state0)
+    Bm = batch["features"].shape[0] // M
+    stacked = jax.tree.map(
+        lambda x: jnp.asarray(
+            np.stack([x[i * Bm:(i + 1) * Bm] for i in range(M)])
+        ),
+        batch,
+    )
+    s_ref, m_ref = t_ref.make_accum_step(frozen=frozen)(
+        state0, stacked, jax.random.PRNGKey(9), 0
+    )
+
+    mesh = make_mesh(dp=dp, pp=pp, devices=jax.devices()[: dp * pp])
+    set_active_mesh(mesh)
+    try:
+        t = Trainer(cfg, n_class, mesh=mesh)
+        t.tx = t_ref.tx
+        state1 = jax.tree.map(jnp.asarray, host0)
+        step = t.make_1f1b_train_step(frozen=frozen)
+        s_1f1b, m_1f1b = step(
+            state1, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(9), 0
+        )
+    finally:
+        set_active_mesh(None)
+
+    np.testing.assert_allclose(
+        float(m_1f1b["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+            err_msg="params",
+        ),
+        jax.device_get(s_1f1b.params), jax.device_get(s_ref.params),
+    )
+    # BN running stats advanced per microbatch, matching accum exactly
+    # (frozen arm: unchanged on both sides)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+            err_msg="batch_stats",
+        ),
+        jax.device_get(s_1f1b.batch_stats), jax.device_get(s_ref.batch_stats),
+    )
+    if not frozen:
+        changed = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            jax.device_get(s_1f1b.batch_stats),
+            jax.device_get(host0.batch_stats),
+        )
+        assert max(jax.tree.leaves(changed)) > 0, "BN stats never advanced"
