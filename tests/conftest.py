@@ -27,6 +27,37 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+import pytest  # noqa: E402
+
+# Suite tiers: the composed/e2e files train the verbatim torch reference
+# loops and run 5-13 min EACH on this 1-core host (~2/3 of the ~40-min
+# suite). `-m "not heavy"` is the ~15-min core tier — every parity oracle,
+# kernel, sharding, and unit test; the heavy tier re-proves the same
+# protocols end-to-end. Files are marked centrally here so a new heavy
+# file is one set-entry, not per-test decoration.
+HEAVY_FILES = {
+    "test_composed_protocol_parity.py",
+    "test_composed_protocol_50salads.py",
+    "test_composed_protocol_darai.py",
+    "test_composed_protocol_nturgbd.py",
+    "test_e2e_moc_parity.py",
+    "test_predict_tcn_darai_parity.py",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: long composed/e2e protocol files (5-13 min each); "
+        'deselect with -m "not heavy" for the core tier',
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in HEAVY_FILES:
+            item.add_marker(pytest.mark.heavy)
+
 REFERENCE = "/root/reference"
 
 
