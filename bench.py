@@ -254,7 +254,19 @@ def main(profile_dir: str = None):
             st_bf, m_bf = step_bf(st_bf, b_bf, jax.random.fold_in(rng, i), 0)
         float(m_bf["loss"])
         sec_bf = min(sec_bf, (time.time() - t0) / 10)
-    del st_bf, b_bf
+    # fit_cached hot path at the Breakfast shape — what end-to-end training
+    # achieves by default (device_cache default-on): the r5 trace showed the
+    # single-dispatch step ~70% tunnel dispatch (device op time 1.33 ms of
+    # ~4.2 ms wall — tools/measure_mfu.py); K steps per dispatch amortize it
+    from tools.measure_mfu import cached_time
+    from r3d_tpu.data.synthetic import SyntheticSource as _SynSrc
+
+    src_bf_c = _SynSrc(
+        n_videos=64, n_actions=48, vid_len_range=(2000, 2001),
+        input_dim=2048, seed=2,
+    )
+    sec_bf_cached = cached_time(tr_bf, st_bf, src_bf_c, b_bf, K=8, rng=rng)
+    del st_bf, b_bf, src_bf_c
 
     # --- fourth workload: the darai unsupervised-curriculum step (gated
     # composite: focal L3 + cluster supcon + warmup blend + how-much-wrong
@@ -272,7 +284,16 @@ def main(profile_dir: str = None):
             st_un, m_un = step_un(st_un, b_un, jax.random.fold_in(rng, i), 0)
         float(m_un["loss"])
         sec_un = min(sec_un, (time.time() - t0) / 10)
-    del st_un, b_un
+    # fit_cached hot path (seg_ids derive in-step from the cached query
+    # stream): single-dispatch is ~75% tunnel dispatch at this tiny shape
+    # (device op time 0.95 ms of ~4.1 ms wall — tools/measure_mfu.py)
+    src_un_c = _SynSrc(
+        n_videos=64, n_actions=17, vid_len_range=(512, 513),
+        input_dim=2048, seed=2, n_query_classes=40,
+    )
+    sec_un_cached = cached_time(
+        tr_un, st_un, src_un_c, b_un, K=8, rng=rng, query=True)
+    del st_un, b_un, src_un_c
 
     # --- 50salads at B=16: the utilization-scaling point (B=8 is
     # bandwidth/dispatch-bound at ~27% MFU; doubling the batch feeds the
@@ -364,27 +385,39 @@ def main(profile_dir: str = None):
                     "fusion_B64_train_step_ms": round(sec64 * 1e3, 2),
                     "breakfast_workload": (
                         "futr B=16 S=2000 h=128 enc2 dec1 nq8 bf16 "
-                        "(scripts/bf_train.sh), single-dispatch"
+                        "(scripts/bf_train.sh), fit_cached hot path K=8 "
+                        "(in-step HBM gather over 128 distinct views; "
+                        "single-dispatch is ~70% tunnel dispatch — "
+                        "tools/measure_mfu.py)"
                     ),
-                    "breakfast_train_clips_per_sec": round(16 / sec_bf, 2),
-                    "breakfast_train_step_ms": round(sec_bf * 1e3, 2),
+                    "breakfast_train_clips_per_sec": round(
+                        16 / sec_bf_cached, 2),
+                    "breakfast_train_step_ms": round(sec_bf_cached * 1e3, 2),
+                    "breakfast_single_dispatch_step_ms": round(
+                        sec_bf * 1e3, 2),
+                    "breakfast_single_dispatch_clips_per_sec": round(
+                        16 / sec_bf, 2),
                     "breakfast_vs_baseline": (
-                        round(16 / sec_bf / baseline_bf_cps, 2)
+                        round(16 / sec_bf_cached / baseline_bf_cps, 2)
                         if baseline_bf_cps else None
                     ),
                     "breakfast_achieved_tflops": (
-                        round(flops_bf / sec_bf / 1e12, 2) if flops_bf
+                        round(flops_bf / sec_bf_cached / 1e12, 2) if flops_bf
                         else None
                     ),
                     "unsup_workload": (
                         "futr_unsupervised B=8 S=512 h=128 qnum48, gated "
                         "composite (train_unsupervised.py:294-362), "
-                        "single-dispatch"
+                        "fit_cached hot path K=8 (seg_ids derive in-step; "
+                        "single-dispatch is ~75% tunnel dispatch)"
                     ),
-                    "unsup_train_clips_per_sec": round(8 / sec_un, 2),
-                    "unsup_train_step_ms": round(sec_un * 1e3, 2),
+                    "unsup_train_clips_per_sec": round(8 / sec_un_cached, 2),
+                    "unsup_train_step_ms": round(sec_un_cached * 1e3, 2),
+                    "unsup_single_dispatch_step_ms": round(sec_un * 1e3, 2),
+                    "unsup_single_dispatch_clips_per_sec": round(
+                        8 / sec_un, 2),
                     "unsup_vs_baseline": (
-                        round(8 / sec_un / baseline_unsup_cps, 2)
+                        round(8 / sec_un_cached / baseline_unsup_cps, 2)
                         if baseline_unsup_cps else None
                     ),
                     "50salads_B16_train_clips_per_sec": round(

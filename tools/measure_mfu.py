@@ -1,0 +1,170 @@
+"""Trace-backed MFU disposition for the Breakfast and unsup shapes.
+
+VERDICT r4 weak #7: the 50salads shape got a full utilization analysis
+(matmul floor, AdamW roofline, ~27% MFU = bandwidth-bound — ROADMAP r3);
+the Breakfast shape (10.14 achieved TFLOPs in BENCH_r04) and the darai
+unsupervised composite (4.14 ms/step) had ratios but no named bound.
+
+This harness AOT-compiles each published train step ONCE (axon returns
+cost_analysis only post-compile — CLAUDE.md), reads XLA's flop and
+bytes-accessed counts, times a best-of-N window (scalar value fetch at the
+window end, per the axon ready-flag pitfall), and captures an xprof trace
+for tools/trace_summary.py. The roofline bound is then named from the
+DEVICE-time op table (robust to host contention), not wall clock:
+
+    python tools/measure_mfu.py bf     --trace /tmp/mfu_bf
+    python tools/measure_mfu.py unsup  --trace /tmp/mfu_unsup
+    python tools/trace_summary.py /tmp/mfu_bf --top 30
+
+v5e-1 rooflines used for the disposition: ~197 bf16 TFLOPs peak (MXU),
+~819 GB/s HBM. bound = max(flops/peak, bytes/bw) vs measured device time.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def aot(step_fn, *args):
+    compiled = step_fn.lower(*args).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0)) or None
+    nbytes = float(cost.get("bytes accessed", 0.0)) or None
+    return compiled, flops, nbytes
+
+
+def chain_time(step, state, batch, rng, n_steps=10, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        for i in range(n_steps):
+            state, m = step(state, batch, jax.random.fold_in(rng, i), 0)
+        float(m["loss"])  # value fetch forces the donated-state chain
+        best = min(best, (time.time() - t0) / n_steps)
+    return best, state
+
+
+def cached_time(trainer, state, src, batch, K, rng, n_disp=4, reps=3,
+                query=False):
+    """fit_cached hot-path rate at this shape: K steps per dispatch, batches
+    gathered in-step from the HBM dataset cache over DISTINCT views (the
+    default-on end-to-end path for supervised configs — cli/run.py)."""
+    import numpy as np
+
+    from r3d_tpu.data.device_cache import build_cache, epoch_plan
+
+    videos = []
+    for v in src.videos:
+        d = {
+            "features": v["features"],
+            "label_idx": np.array([src.actions_dict[l] for l in v["labels"]]),
+        }
+        if query:
+            d["query_idx"] = np.array([src.query_dict[q] for q in v["query"]])
+        videos.append(d)
+    S = trainer.config.data.seq_buckets[0]
+    cache = build_cache(
+        videos, (0.99, 0.98), 1, 8, src.pad_idx, src.n_class, (S,),
+        feature_dtype=trainer.config.data.feature_dtype,
+        query_pad_idx=src.pad_idx if query else None,
+    )
+    B = batch["features"].shape[0]
+    cached_fn = trainer.make_cached_train_fn(cache)
+    plan = epoch_plan(cache, B, seed=0, epoch=0, drop_remainder=True)
+    idxs = jnp.asarray(np.stack([idx for _sb, idx in plan[:K]]))
+    state, m = cached_fn(state, cache.data, idxs, rng, S, 0)  # compile
+    float(m["loss"])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        for i in range(n_disp):
+            state, m = cached_fn(
+                state, cache.data, idxs, jax.random.fold_in(rng, i), S, 0
+            )
+        float(m["loss"])
+        best = min(best, (time.time() - t0) / (n_disp * K))
+    return best
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("shape", choices=["bf", "unsup"])
+    p.add_argument("--trace", default=None, metavar="DIR")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--cached", action="store_true",
+                   help="also time the fit_cached K-step hot path")
+    args = p.parse_args()
+
+    from r3d_tpu.data.synthetic import SyntheticSource
+    from tools.measure_r2 import make_futr_bf, make_unsup_darai
+
+    if args.shape == "bf":
+        trainer, state, batch = make_futr_bf(batch_size=16)
+        B = 16
+        cache_src = SyntheticSource(
+            n_videos=64, n_actions=48, vid_len_range=(2000, 2001),
+            input_dim=2048, seed=2,
+        )
+    else:
+        trainer, state, batch = make_unsup_darai(batch_size=8, S=512)
+        B = 8
+        cache_src = SyntheticSource(
+            n_videos=64, n_actions=17, vid_len_range=(512, 513),
+            input_dim=2048, seed=2, n_query_classes=40,
+        )
+
+    rng = jax.random.PRNGKey(1)
+    step, flops, nbytes = aot(trainer.make_train_step(), state, batch, rng, 0)
+    state, m = step(state, batch, rng, 0)
+    float(m["loss"])
+
+    sec, state = chain_time(step, state, batch, rng, n_steps=args.steps)
+
+    cached_sec = None
+    if args.cached:
+        cached_sec = cached_time(
+            trainer, state, cache_src, batch, K=8, rng=rng,
+            query=args.shape == "unsup",
+        )
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for i in range(5):
+                state, m = step(state, batch, jax.random.fold_in(rng, 99 + i), 0)
+            float(m["loss"])
+
+    peak_tflops = 197e12  # v5e bf16
+    hbm_bw = 819e9  # v5e HBM bytes/s
+    out = {
+        "shape": args.shape,
+        "train_step_ms": round(sec * 1e3, 3),
+        "clips_per_sec": round(B / sec, 1),
+        "xla_gflop_per_step": round(flops / 1e9, 2) if flops else None,
+        "xla_gbytes_per_step": round(nbytes / 1e9, 3) if nbytes else None,
+        "achieved_tflops": round(flops / sec / 1e12, 2) if flops else None,
+        "mfu_pct": round(100 * flops / sec / peak_tflops, 1) if flops else None,
+        "matmul_floor_ms": (
+            round(flops / peak_tflops * 1e3, 3) if flops else None
+        ),
+        "hbm_floor_ms": (
+            round(nbytes / hbm_bw * 1e3, 3) if nbytes else None
+        ),
+        "device": str(jax.devices()[0]),
+    }
+    if cached_sec is not None:
+        out["cached_train_step_ms"] = round(cached_sec * 1e3, 3)
+        out["cached_clips_per_sec"] = round(B / cached_sec, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
