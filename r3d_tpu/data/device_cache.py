@@ -27,6 +27,7 @@ what XLA should not trace.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -311,7 +312,25 @@ def _gather_window(arr: jnp.ndarray, vid: jnp.ndarray, in_view: jnp.ndarray,
     in the padded storage, which matches the host collate's zero padding;
     ``in_view`` masks everything past the view's observed window with
     ``fill``.
+
+    Multi-axis rows (raw depth frames [V, L, H, W]) gather FLATTENED to
+    [V, L, H*W] and reshape back afterwards: XLA's layout assignment for a
+    5D dynamic-slice loop picks exotic layouts — the r5 fusion-cached trace
+    showed a whole-cache [64,256,160,120] relayout copy EVERY dispatch
+    (2.0 ms for 1.5 GB) plus per-row {2,4,3,0,1} slice relayouts, ~0.55
+    ms/step of the 1.5 ms cached step.  The flatten/unflatten pair is a
+    value-preserving row-major reshape (bit-exactness unchanged); on 3D
+    arrays the whole-cache copy vanishes and the gather leaves drop to
+    ~0.22 ms/step — same-process interleaved A/B on the fusion cached
+    step: 1.49 -> 1.32 ms/step (1.13x; ROADMAP r5).
     """
+    trail = arr.shape[2:]
+    if len(trail) > 1 and os.environ.get("R3D_GATHER_5D") != "1":
+        # R3D_GATHER_5D=1 restores the direct multi-axis slice (the
+        # measurement knob for the A/B above)
+        flat = arr.reshape(arr.shape[0], arr.shape[1], -1)
+        g = _gather_window(flat, vid, in_view, S, sample_rate, fill, dtype)
+        return g.reshape(g.shape[:2] + trail)
     need = min((S - 1) * sample_rate + 1, arr.shape[1])
 
     def one(v):

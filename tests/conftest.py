@@ -29,12 +29,15 @@ if REPO not in sys.path:
 
 import pytest  # noqa: E402
 
-# Suite tiers: the composed/e2e files train the verbatim torch reference
-# loops and run 5-13 min EACH on this 1-core host (~2/3 of the ~40-min
-# suite). `-m "not heavy"` is the ~15-min core tier — every parity oracle,
-# kernel, sharding, and unit test; the heavy tier re-proves the same
-# protocols end-to-end. Files are marked centrally here so a new heavy
-# file is one set-entry, not per-test decoration.
+# Suite tiers (measured at the round-5 HEAD run: 316 passed in 91 min
+# contended / ~40 min alone). `heavy` marks the composed/e2e protocol
+# files (verbatim torch reference training chains) plus the multi-fit
+# equality files whose single tests run 2-4 min — together ~40% of suite
+# wall. `-m "not heavy"` is the core tier (~25 min alone): every
+# forward/gradient parity oracle, kernel, sharding, loss, and unit test.
+# The heavy tier re-proves the same semantics at full-fit/protocol scale.
+# Files are marked centrally here so a new heavy file is one set-entry,
+# not per-test decoration.
 HEAVY_FILES = {
     "test_composed_protocol_parity.py",
     "test_composed_protocol_50salads.py",
@@ -42,6 +45,8 @@ HEAVY_FILES = {
     "test_composed_protocol_nturgbd.py",
     "test_e2e_moc_parity.py",
     "test_predict_tcn_darai_parity.py",
+    "test_hybrid_cache.py",
+    "test_sticky_eval.py",
 }
 
 
