@@ -238,6 +238,18 @@ def main(profile_dir: str = None):
         float(m50["loss"])
         sec50 = min(sec50, (time.time() - t0) / (3 * K50))
     cps50 = B / sec50
+    # fit_cached hot path at the same shape (distinct views gathered
+    # in-step — what real end-to-end 50salads training runs by default,
+    # same methodology as the fusion headline / breakfast / unsup arms)
+    from tools.measure_mfu import cached_time
+    from r3d_tpu.data.synthetic import SyntheticSource as _SynSrc
+
+    src_50_c = _SynSrc(
+        n_videos=64, n_actions=19, vid_len_range=(3100, 3101),
+        input_dim=2048, seed=2,
+    )
+    sec50_cached = cached_time(tr50, st50, src_50_c, b50, K=8, rng=rng)
+    del src_50_c
 
     # --- third workload: the published Breakfast shape (bs16 S2000 h128
     # enc2 dec1, scripts/bf_train.sh:2-6, bf16 per the shipped config) ---
@@ -258,14 +270,11 @@ def main(profile_dir: str = None):
     # achieves by default (device_cache default-on): the r5 trace showed the
     # single-dispatch step ~70% tunnel dispatch (device op time 1.33 ms of
     # ~4.2 ms wall — tools/measure_mfu.py); K steps per dispatch amortize it
-    from tools.measure_mfu import cached_time
-    from r3d_tpu.data.synthetic import SyntheticSource as _SynSrc
-
     src_bf_c = _SynSrc(
-        n_videos=64, n_actions=48, vid_len_range=(2000, 2001),
+        n_videos=128, n_actions=48, vid_len_range=(2000, 2001),
         input_dim=2048, seed=2,
     )
-    sec_bf_cached = cached_time(tr_bf, st_bf, src_bf_c, b_bf, K=8, rng=rng)
+    sec_bf_cached = cached_time(tr_bf, st_bf, src_bf_c, b_bf, K=16, rng=rng)
     del st_bf, b_bf, src_bf_c
 
     # --- fourth workload: the darai unsupervised-curriculum step (gated
@@ -292,7 +301,7 @@ def main(profile_dir: str = None):
         input_dim=2048, seed=2, n_query_classes=40,
     )
     sec_un_cached = cached_time(
-        tr_un, st_un, src_un_c, b_un, K=8, rng=rng, query=True)
+        tr_un, st_un, src_un_c, b_un, K=16, rng=rng, query=True)
     del st_un, b_un, src_un_c
 
     # --- 50salads at B=16: the utilization-scaling point (B=8 is
@@ -373,6 +382,10 @@ def main(profile_dir: str = None):
                     ),
                     "50salads_train_clips_per_sec": round(cps50, 2),
                     "50salads_train_step_ms": round(sec50 * 1e3, 2),
+                    "50salads_cached_train_clips_per_sec": round(
+                        B / sec50_cached, 2),
+                    "50salads_cached_train_step_ms": round(
+                        sec50_cached * 1e3, 2),
                     "50salads_single_dispatch_step_ms": round(
                         sec50_single * 1e3, 2
                     ),
@@ -385,8 +398,8 @@ def main(profile_dir: str = None):
                     "fusion_B64_train_step_ms": round(sec64 * 1e3, 2),
                     "breakfast_workload": (
                         "futr B=16 S=2000 h=128 enc2 dec1 nq8 bf16 "
-                        "(scripts/bf_train.sh), fit_cached hot path K=8 "
-                        "(in-step HBM gather over 128 distinct views; "
+                        "(scripts/bf_train.sh), fit_cached hot path K=16 "
+                        "(in-step HBM gather over 256 distinct views; "
                         "single-dispatch is ~70% tunnel dispatch — "
                         "tools/measure_mfu.py)"
                     ),
@@ -408,7 +421,7 @@ def main(profile_dir: str = None):
                     "unsup_workload": (
                         "futr_unsupervised B=8 S=512 h=128 qnum48, gated "
                         "composite (train_unsupervised.py:294-362), "
-                        "fit_cached hot path K=8 (seg_ids derive in-step; "
+                        "fit_cached hot path K=16 (seg_ids derive in-step; "
                         "single-dispatch is ~75% tunnel dispatch)"
                     ),
                     "unsup_train_clips_per_sec": round(8 / sec_un_cached, 2),

@@ -72,8 +72,9 @@ def cached_time(trainer, state, src, batch, K, rng, n_disp=4, reps=3,
             d["query_idx"] = np.array([src.query_dict[q] for q in v["query"]])
         videos.append(d)
     S = trainer.config.data.seq_buckets[0]
+    n_query = batch["trans_future_target"].shape[1]
     cache = build_cache(
-        videos, (0.99, 0.98), 1, 8, src.pad_idx, src.n_class, (S,),
+        videos, (0.99, 0.98), 1, n_query, src.pad_idx, src.n_class, (S,),
         feature_dtype=trainer.config.data.feature_dtype,
         query_pad_idx=src.pad_idx if query else None,
     )
