@@ -28,6 +28,9 @@ import numpy as np
 
 
 def main(profile_dir: str = None):
+    from r3d_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # tunnel compiles replay from disk (~1 s)
     from r3d_tpu.config import get_config
     from r3d_tpu.data.pipeline import BucketedLoader
     from r3d_tpu.data.synthetic import SyntheticSource

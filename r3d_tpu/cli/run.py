@@ -303,6 +303,11 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
 def main(config: Config, mode: str = "train", dataset_ops: str = "", log=print,
          resume: bool = False, ensemble: bool = False,
          results_save_path: Optional[str] = None):
+    # tunnel compiles cost minutes; replay them from the on-disk cache
+    # (utils/compile_cache.py — R3D_COMPILE_CACHE=0 opts out)
+    from r3d_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if mode in ("train", "train_eval"):
         for seed in config.train.seeds:
             log(f"=== training seed {seed} ===")

@@ -27,6 +27,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# persist the heavyweight CPU compiles (fit/pipeline programs run 10-60 s
+# each to build) so suite RE-runs replay them from disk; keys are HLO
+# hashes, so code changes miss cleanly (utils/compile_cache.py)
+from r3d_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(min_compile_secs=5.0)
+
 import pytest  # noqa: E402
 
 # Suite tiers (measured at the round-5 HEAD run: 316 passed in 91 min

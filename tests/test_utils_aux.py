@@ -177,3 +177,24 @@ def test_tbwriter_roundtrip(tmp_path):
                              "events.out.tfevents.*"))
     evs = list(read_events(path2))
     assert evs[-1]["scalars"] == {"loss": 2.0} and evs[-1]["step"] == 3
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    """enable_compilation_cache points jax at the dir (and the env knobs
+    opt out / override) — the replay itself is exercised on the tunnel
+    (measured 193 s -> 1.4 s across processes, ROADMAP r5)."""
+    import jax
+
+    from r3d_tpu.utils.compile_cache import enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("R3D_COMPILE_CACHE_DIR", str(tmp_path / "cc"))
+        assert enable_compilation_cache(min_compile_secs=3.0)
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+        assert (tmp_path / "cc").is_dir()
+
+        monkeypatch.setenv("R3D_COMPILE_CACHE", "0")
+        assert not enable_compilation_cache()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
