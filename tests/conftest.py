@@ -40,7 +40,8 @@ import pytest  # noqa: E402
 # contended / ~40 min alone). `heavy` marks the composed/e2e protocol
 # files (verbatim torch reference training chains) plus the multi-fit
 # equality files whose single tests run 2-4 min — together ~40% of suite
-# wall. `-m "not heavy"` is the core tier (~25 min alone): every
+# wall. `-m "not heavy"` is the core tier (measured 282 passed in 38
+# min alone): every
 # forward/gradient parity oracle, kernel, sharding, loss, and unit test.
 # The heavy tier re-proves the same semantics at full-fit/protocol scale.
 # Files are marked centrally here so a new heavy file is one set-entry,
