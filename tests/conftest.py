@@ -36,8 +36,8 @@ enable_compilation_cache(min_compile_secs=5.0)
 
 import pytest  # noqa: E402
 
-# Suite tiers (measured at the round-5 HEAD run: 316 passed in 91 min
-# contended / ~40 min alone). `heavy` marks the composed/e2e protocol
+# Suite tiers (measured round 5: 316 passed, 3 skipped in 77-91 min
+# across two full runs on this 1-core host). `heavy` marks the composed/e2e protocol
 # files (verbatim torch reference training chains) plus the multi-fit
 # equality files whose single tests run 2-4 min — together ~40% of suite
 # wall. `-m "not heavy"` is the core tier (measured 282 passed in 38
