@@ -251,7 +251,7 @@ def main(profile_dir: str = None):
         n_videos=64, n_actions=19, vid_len_range=(3100, 3101),
         input_dim=2048, seed=2,
     )
-    sec50_cached = cached_time(tr50, st50, src_50_c, b50, K=8, rng=rng)
+    sec50_cached, st50 = cached_time(tr50, st50, src_50_c, b50, K=8, rng=rng)
     del src_50_c
 
     # --- third workload: the published Breakfast shape (bs16 S2000 h128
@@ -277,7 +277,8 @@ def main(profile_dir: str = None):
         n_videos=128, n_actions=48, vid_len_range=(2000, 2001),
         input_dim=2048, seed=2,
     )
-    sec_bf_cached = cached_time(tr_bf, st_bf, src_bf_c, b_bf, K=16, rng=rng)
+    sec_bf_cached, st_bf = cached_time(
+        tr_bf, st_bf, src_bf_c, b_bf, K=16, rng=rng)
     del st_bf, b_bf, src_bf_c
 
     # --- fourth workload: the darai unsupervised-curriculum step (gated
@@ -303,7 +304,7 @@ def main(profile_dir: str = None):
         n_videos=64, n_actions=17, vid_len_range=(512, 513),
         input_dim=2048, seed=2, n_query_classes=40,
     )
-    sec_un_cached = cached_time(
+    sec_un_cached, st_un = cached_time(
         tr_un, st_un, src_un_c, b_un, K=16, rng=rng, query=True)
     del st_un, b_un, src_un_c
 

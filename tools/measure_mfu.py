@@ -1,4 +1,4 @@
-"""Trace-backed MFU disposition for the Breakfast and unsup shapes.
+"""Trace-backed MFU dispositions + fit_cached hot-path measurement.
 
 VERDICT r4 weak #7: the 50salads shape got a full utilization analysis
 (matmul floor, AdamW roofline, ~27% MFU = bandwidth-bound — ROADMAP r3);
@@ -12,9 +12,19 @@ window end, per the axon ready-flag pitfall), and captures an xprof trace
 for tools/trace_summary.py. The roofline bound is then named from the
 DEVICE-time op table (robust to host contention), not wall clock:
 
-    python tools/measure_mfu.py bf     --trace /tmp/mfu_bf
-    python tools/measure_mfu.py unsup  --trace /tmp/mfu_unsup
+    python tools/measure_mfu.py bf     --trace /tmp/mfu_bf --cached
+    python tools/measure_mfu.py unsup  --trace /tmp/mfu_unsup --cached
+    python tools/measure_mfu.py fusion --cached --trace_cached /tmp/fus_c
+    python tools/measure_mfu.py fusion --ab_gather   # flat vs 5D gather
     python tools/trace_summary.py /tmp/mfu_bf --top 30
+
+`--ab_gather` reproduces the round-5 depth-gather layout A/B
+(device_cache._gather_window: multi-axis rows gather flattened): both
+arms compile in ONE process and interleave their timing windows per the
+CLAUDE.md drift rule — the R3D_GATHER_5D env knob must straddle each
+arm's COMPILING call (it is read at trace time, not closure creation).
+Recorded result: 5D 1.49 ms/step vs flat 1.32 (1.13x), fusion cached
+shape (ROADMAP r5).
 
 v5e-1 rooflines used for the disposition: ~197 bf16 TFLOPs peak (MXU),
 ~819 GB/s HBM. bound = max(flops/peak, bytes/bw) vs measured device time.
@@ -53,11 +63,8 @@ def chain_time(step, state, batch, rng, n_steps=10, reps=3):
     return best, state
 
 
-def cached_time(trainer, state, src, batch, K, rng, n_disp=4, reps=3,
-                query=False):
-    """fit_cached hot-path rate at this shape: K steps per dispatch, batches
-    gathered in-step from the HBM dataset cache over DISTINCT views (the
-    default-on end-to-end path for supervised configs — cli/run.py)."""
+def build_shape_cache(trainer, src, batch, query=False):
+    """DeviceCache + a K-batch index-table builder for this shape."""
     import numpy as np
 
     from r3d_tpu.data.device_cache import build_cache, epoch_plan
@@ -68,6 +75,8 @@ def cached_time(trainer, state, src, batch, K, rng, n_disp=4, reps=3,
             "features": v["features"],
             "label_idx": np.array([src.actions_dict[l] for l in v["labels"]]),
         }
+        if "depth" in v:
+            d["depth"] = v["depth"]
         if query:
             d["query_idx"] = np.array([src.query_dict[q] for q in v["query"]])
         videos.append(d)
@@ -79,9 +88,28 @@ def cached_time(trainer, state, src, batch, K, rng, n_disp=4, reps=3,
         query_pad_idx=src.pad_idx if query else None,
     )
     B = batch["features"].shape[0]
+
+    def idx_table(K):
+        import numpy as np
+
+        plan = epoch_plan(cache, B, seed=0, epoch=0, drop_remainder=True)
+        if len(plan) < K:
+            raise ValueError(f"epoch plan has {len(plan)} batches < K={K}")
+        return jnp.asarray(np.stack([idx for _sb, idx in plan[:K]]))
+
+    return cache, idx_table, S
+
+
+def cached_time(trainer, state, src, batch, K, rng, n_disp=4, reps=3,
+                query=False):
+    """fit_cached hot-path rate at this shape: K steps per dispatch, batches
+    gathered in-step from the HBM dataset cache over DISTINCT views (the
+    default-on end-to-end path for supervised configs — cli/run.py).
+    Returns (best_sec_per_step, final_state) — the input state is DONATED
+    by the cached fn, so callers must continue from the returned one."""
+    cache, idx_table, S = build_shape_cache(trainer, src, batch, query=query)
     cached_fn = trainer.make_cached_train_fn(cache)
-    plan = epoch_plan(cache, B, seed=0, epoch=0, drop_remainder=True)
-    idxs = jnp.asarray(np.stack([idx for _sb, idx in plan[:K]]))
+    idxs = idx_table(K)
     state, m = cached_fn(state, cache.data, idxs, rng, S, 0)  # compile
     float(m["loss"])
     best = float("inf")
@@ -93,20 +121,57 @@ def cached_time(trainer, state, src, batch, K, rng, n_disp=4, reps=3,
             )
         float(m["loss"])
         best = min(best, (time.time() - t0) / (n_disp * K))
-    return best
+    return best, state
+
+
+def ab_gather(trainer, state, src, batch, K, rng, n_disp=4, reps=6):
+    """Interleaved flat-vs-5D depth-gather A/B on the fusion cached step."""
+    cache, idx_table, S = build_shape_cache(trainer, src, batch)
+    idxs = idx_table(K)
+    fns = {
+        "5d": trainer.make_cached_train_fn(cache),
+        "flat": trainer.make_cached_train_fn(cache),
+    }
+    # the env knob is read when the jitted closure first TRACES
+    os.environ["R3D_GATHER_5D"] = "1"
+    state, m = fns["5d"](state, cache.data, idxs, rng, S, 0)
+    float(m["loss"])
+    os.environ.pop("R3D_GATHER_5D")
+    state, m = fns["flat"](state, cache.data, idxs, rng, S, 0)
+    float(m["loss"])
+
+    best = {"5d": float("inf"), "flat": float("inf")}
+    for rep in range(reps):
+        order = ("5d", "flat") if rep % 2 == 0 else ("flat", "5d")
+        for tag in order:
+            t0 = time.time()
+            for i in range(n_disp):
+                state, m = fns[tag](
+                    state, cache.data, idxs,
+                    jax.random.fold_in(rng, rep * 10 + i), S, 0,
+                )
+            float(m["loss"])
+            best[tag] = min(best[tag], (time.time() - t0) / (n_disp * K))
+    return best, state
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("shape", choices=["bf", "unsup"])
-    p.add_argument("--trace", default=None, metavar="DIR")
+    p.add_argument("shape", choices=["bf", "unsup", "fusion"])
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="xprof trace of 5 single-dispatch steps")
+    p.add_argument("--trace_cached", default=None, metavar="DIR",
+                   help="xprof trace of one cached K-step dispatch")
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--K", type=int, default=8)
     p.add_argument("--cached", action="store_true",
                    help="also time the fit_cached K-step hot path")
+    p.add_argument("--ab_gather", action="store_true",
+                   help="interleaved flat-vs-5D gather A/B (fusion only)")
     args = p.parse_args()
 
     from r3d_tpu.data.synthetic import SyntheticSource
-    from tools.measure_r2 import make_futr_bf, make_unsup_darai
+    from tools.measure_r2 import make_fusion, make_futr_bf, make_unsup_darai
 
     if args.shape == "bf":
         trainer, state, batch = make_futr_bf(batch_size=16)
@@ -115,13 +180,23 @@ def main():
             n_videos=64, n_actions=48, vid_len_range=(2000, 2001),
             input_dim=2048, seed=2,
         )
-    else:
+    elif args.shape == "unsup":
         trainer, state, batch = make_unsup_darai(batch_size=8, S=512)
         B = 8
         cache_src = SyntheticSource(
             n_videos=64, n_actions=17, vid_len_range=(512, 513),
             input_dim=2048, seed=2, n_query_classes=40,
         )
+    else:
+        trainer, state, batch = make_fusion(
+            "float32", 8, feature_dtype="bfloat16")
+        B = 8
+        cache_src = SyntheticSource(
+            n_videos=64, n_actions=16, vid_len_range=(256, 257),
+            input_dim=2048, depth_shape=(160, 120), seed=1,
+        )
+    if args.ab_gather and args.shape != "fusion":
+        p.error("--ab_gather needs the fusion shape (the only 5D stream)")
 
     rng = jax.random.PRNGKey(1)
     step, flops, nbytes = aot(trainer.make_train_step(), state, batch, rng, 0)
@@ -130,10 +205,12 @@ def main():
 
     sec, state = chain_time(step, state, batch, rng, n_steps=args.steps)
 
-    cached_sec = None
-    if args.cached:
-        cached_sec = cached_time(
-            trainer, state, cache_src, batch, K=8, rng=rng,
+    cached_sec = ab = None
+    if args.ab_gather:
+        ab, state = ab_gather(trainer, state, cache_src, batch, args.K, rng)
+    elif args.cached:
+        cached_sec, state = cached_time(
+            trainer, state, cache_src, batch, K=args.K, rng=rng,
             query=args.shape == "unsup",
         )
 
@@ -141,6 +218,17 @@ def main():
         with jax.profiler.trace(args.trace):
             for i in range(5):
                 state, m = step(state, batch, jax.random.fold_in(rng, 99 + i), 0)
+            float(m["loss"])
+    if args.trace_cached:
+        cache, idx_table, S = build_shape_cache(
+            trainer, cache_src, batch, query=args.shape == "unsup")
+        cached_fn = trainer.make_cached_train_fn(cache)
+        idxs = idx_table(args.K)
+        state, m = cached_fn(state, cache.data, idxs, rng, S, 0)
+        float(m["loss"])
+        with jax.profiler.trace(args.trace_cached):
+            state, m = cached_fn(
+                state, cache.data, idxs, jax.random.fold_in(rng, 99), S, 0)
             float(m["loss"])
 
     peak_tflops = 197e12  # v5e bf16
@@ -164,6 +252,11 @@ def main():
     if cached_sec is not None:
         out["cached_train_step_ms"] = round(cached_sec * 1e3, 3)
         out["cached_clips_per_sec"] = round(B / cached_sec, 1)
+    if ab is not None:
+        out["ab_gather"] = {
+            t: {"step_ms": round(s * 1e3, 3), "clips_per_sec": round(B / s, 1)}
+            for t, s in ab.items()
+        }
     print(json.dumps(out))
 
 
