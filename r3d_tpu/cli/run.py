@@ -42,6 +42,13 @@ def train(config: Config, seed: int, dataset_ops: str = "",
           sources: Optional[Dict[str, VideoSource]] = None, log=print,
           resume: bool = False):
     """Train one seed; returns (trainer, final_state, checkpointer)."""
+    # tunnel compiles cost minutes; replay them from the on-disk cache
+    # (utils/compile_cache.py — R3D_COMPILE_CACHE=0 opts out). Lives here,
+    # not in main(), so the library-level train()/predict() entry points
+    # (tests, scripts) get it too.
+    from r3d_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     train_name, val_name = _splits(config)
     if sources is None:
         sources = {
@@ -194,6 +201,9 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
     averaged (logit ensemble) instead of averaging per-seed accuracies.
     ``results_save_path``: write results.json (obs x metric table) plus the
     reference-style per-obs gt/pred transcript logs there."""
+    from r3d_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # see train(): covers library-level callers
     _, val_name = _splits(config)
     if source is None:
         source = build_source(config.data, val_name)
@@ -303,11 +313,6 @@ def predict(config: Config, dataset_ops: str = "", seeds=None,
 def main(config: Config, mode: str = "train", dataset_ops: str = "", log=print,
          resume: bool = False, ensemble: bool = False,
          results_save_path: Optional[str] = None):
-    # tunnel compiles cost minutes; replay them from the on-disk cache
-    # (utils/compile_cache.py — R3D_COMPILE_CACHE=0 opts out)
-    from r3d_tpu.utils.compile_cache import enable_compilation_cache
-
-    enable_compilation_cache()
     if mode in ("train", "train_eval"):
         for seed in config.train.seeds:
             log(f"=== training seed {seed} ===")

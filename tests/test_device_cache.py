@@ -338,3 +338,24 @@ def test_assemble_short_feature_stream():
             np.asarray(jax.device_get(dev[k])), np.asarray(host[k]),
             err_msg=k,
         )
+
+
+def test_gather_5d_knob_matches_flat(monkeypatch):
+    """R3D_GATHER_5D=1 (the direct multi-axis slice, kept as the
+    measurement arm of the r5 layout A/B — tools/measure_mfu.py
+    --ab_gather) must stay value-identical to the default flattened
+    gather, or the A/B silently compares against broken code."""
+    src = make_source(depth=True)
+    cache = build_cache(
+        source_videos(src), OBS, SR, NQ, src.pad_idx, src.n_class, BUCKETS,
+    )
+    view_ids = jnp.asarray(np.array([0, 5, 11, 17], np.int32))
+    S = BUCKETS[-1]
+    flat = assemble(cache.data, view_ids, S, SR, cache.pad_idx, None)
+    monkeypatch.setenv("R3D_GATHER_5D", "1")
+    direct = assemble(cache.data, view_ids, S, SR, cache.pad_idx, None)
+    assert set(flat) == set(direct)
+    for k in flat:
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(flat[k])),
+            np.asarray(jax.device_get(direct[k])), err_msg=k)

@@ -188,6 +188,7 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
     from r3d_tpu.utils.compile_cache import enable_compilation_cache
 
     prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         monkeypatch.setenv("R3D_COMPILE_CACHE_DIR", str(tmp_path / "cc"))
         assert enable_compilation_cache(min_compile_secs=3.0)
@@ -198,3 +199,5 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
         assert not enable_compilation_cache()
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min)
